@@ -1,0 +1,92 @@
+"""Unit tests: HTML block parse + boilerplate classification.
+
+Style mirrors the reference's golden-count unit tests
+(``data_extract/tests/test_data_extract.py:30-41``)."""
+from text_extraction_system_ray.config import DEFAULT_CONFIG as CFG
+from text_extraction_system_ray.extract import extract_row
+from text_extraction_system_ray.functions.html_extract import (
+    classify_blocks, extract_html, parse_html_blocks)
+
+
+def test_basic_blocks_and_boilerplate():
+    html = (b"<html><head><title>T</title><script>var x=1;</script></head><body>"
+            b"<nav><a href='/'>Home</a> <a href='/b'>B</a></nav>"
+            b"<p>Real content paragraph with enough words to stay.</p>"
+            b"<footer>short footer <a href='/x'>x</a></footer></body></html>")
+    blocks, title, _ = extract_html(html, CFG)
+    assert title == "T"
+    assert [b.text for b in blocks] == [
+        "Real content paragraph with enough words to stay."]
+
+
+def test_boilerplate_rescue():
+    # long, link-free text inside a nav survives (content rescue)
+    long_text = "word " * 30
+    html = f"<nav><p>{long_text}</p></nav>".encode()
+    blocks, _, _ = extract_html(html, CFG)
+    assert len(blocks) == 1
+
+
+def test_link_farm_dropped_outside_bp():
+    html = (b"<div><a href='/1'>one</a> <a href='/2'>two</a> "
+            b"<a href='/3'>three</a></div>")
+    blocks, _, _ = extract_html(html, CFG)
+    assert blocks == []
+
+
+def test_entities_and_whitespace():
+    html = b"<p>Fish &amp; chips\n\t  and   &#65;&#x42;</p>"
+    blocks, _, _ = extract_html(html, CFG)
+    assert blocks[0].text == "Fish & chips and AB"
+
+
+def test_pre_preserves_newlines():
+    html = b"<pre>line1\n  line2\n</pre>"
+    blocks, _, _ = extract_html(html, CFG)
+    assert blocks[0].text == "line1\n  line2"
+    assert blocks[0].kind == "pre"
+
+
+def test_br_splits_blocks():
+    html = b"<p>one one one<br>two two two</p>"
+    blocks, _, _ = extract_html(html, CFG)
+    assert [b.text for b in blocks] == ["one one one", "two two two"]
+
+
+def test_script_style_dropped():
+    html = (b"<body><style>.a{color:red}</style><script>if(a<b){}</script>"
+            b"<p>kept text here</p><noscript>no</noscript></body>")
+    blocks, _, _ = extract_html(html, CFG)
+    assert [b.text for b in blocks] == ["kept text here"]
+
+
+def test_nested_table_capture():
+    html = (b"<table><tr><th>H1</th><th>H2</th></tr>"
+            b"<tr><td>a</td><td>b</td></tr></table>")
+    blocks, _, tables = extract_html(html, CFG)
+    assert len(tables) == 1
+    assert tables[0].rows == [["H1", "H2"], ["a", "b"]]
+    assert tables[0].n_cols == 2
+    # cells are also text blocks
+    assert [b.text for b in blocks] == ["H1", "H2", "a", "b"]
+
+
+def test_malformed_html_no_crash():
+    html = b"<p>ok <b>unclosed <p>next</i></zzz> tail"
+    blocks, _, _ = extract_html(html, CFG)
+    assert any("ok" in b.text for b in blocks)
+
+
+def test_deep_nesting_is_bounded():
+    html = b"<div>" * 20000 + b"deep text center" + b"</div>" * 20000
+    r = extract_row("u", b"<html><body>" + html + b"</body></html>")
+    # either extracted fine (iterative parser) or a clean error row
+    assert r["status"] in ("ok", "error")
+    if r["status"] == "ok":
+        assert "deep text center" in r["text"]
+
+
+def test_title_fallback_to_h1():
+    html = b"<body><h1>The Heading</h1><p>some content text here</p></body>"
+    _, title, _ = extract_html(html, CFG)
+    assert title == "The Heading"

@@ -1,0 +1,94 @@
+"""The per-row extraction oracle.
+
+``extract_row`` is the single source of truth for extraction semantics:
+the distributed pipeline is ``map_batches`` over exactly this function, and
+the tests apply it serially in plain Python and require byte-identical
+output (BASELINE.json: "byte-identical extracted text per url").
+
+Reference analog: the whole per-document DAG ``process_document →
+process_pdf → extract_data_and_finish`` (``tasks.py:207-565``) collapsed
+into one pure function over the payload bytes.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .functions.assembly import (AssembledDoc, assemble_empty, assemble_html,
+                                 assemble_pdf)
+from .functions.html_extract import ExtractError, extract_html
+from .functions.pdf_extract import extract_pdf
+
+PDF_MAGIC = b"%PDF-"
+
+
+def sniff_kind(payload: Optional[bytes]) -> str:
+    """Payload dispatch by magic bytes (ref: extension dispatch at
+    ``tasks.py:222-237`` / ``convert_to_pdf.py:84-92``; web payloads are
+    sniffed, not trusted by name). Frozen rules:
+      - empty → 'empty'
+      - b'%PDF-' within the first 1024 bytes → 'pdf'
+      - >10% non-text control bytes in the first 4096 → 'unknown' (binary)
+      - else → 'html'
+    """
+    if not payload:
+        return "empty"
+    if PDF_MAGIC in payload[:1024]:
+        return "pdf"
+    head = payload[:4096]
+    n_ctrl = sum(1 for b in head if b < 9 or (13 < b < 32 and b != 27))
+    if n_ctrl > len(head) * 0.10:
+        return "unknown"
+    return "html"
+
+
+def _doc_to_row(url: str, kind: str, doc: AssembledDoc,
+                status: str = "ok", error: str = "") -> Dict:
+    return {
+        "url": url, "status": status, "error": error, "kind": kind,
+        "text": doc.text, "char_spans": doc.char_spans,
+        "pages": doc.pages, "paragraphs": doc.paragraphs,
+        "sentences": doc.sentences, "sections": doc.sections,
+        "toc": doc.toc, "tables": doc.tables,
+        "language": doc.language, "title": doc.title,
+        "needs_ocr_pages": doc.needs_ocr_pages,
+    }
+
+
+def error_row(url: str, kind: str, message: str, lang_hint: str = "") -> Dict:
+    """Errors become rows, never exceptions — a bad document must not kill
+    a Ray task (SURVEY.md §1.3 'RequestStatus' row; ref FAILURE status,
+    ``request_metadata.py:93-110``)."""
+    doc = assemble_empty(lang_hint)
+    return _doc_to_row(url, kind, doc, status="error", error=message)
+
+
+def extract_row(url: str, payload: Optional[bytes], lang_hint: str = "",
+                cfg: PipelineConfig = DEFAULT_CONFIG) -> Dict:
+    """Extract one document. Deterministic; never raises."""
+    lang_hint = (lang_hint or "").strip().lower()[:2]
+    try:
+        if payload is not None and len(payload) > cfg.max_payload_bytes:
+            return error_row(url, "unknown",
+                             f"payload too large: {len(payload)} bytes", lang_hint)
+        kind = sniff_kind(payload)
+        if kind == "empty":
+            return _doc_to_row(url, kind, assemble_empty(lang_hint))
+        if kind == "unknown":
+            return error_row(url, kind, "unrecognized binary payload", lang_hint)
+        forced = lang_hint if cfg.doc_language == "" else cfg.doc_language
+        if kind == "pdf":
+            pages = extract_pdf(payload, cfg)
+            return _doc_to_row(url, kind, assemble_pdf(pages, forced))
+        blocks, title, tables = extract_html(payload, cfg)
+        if not blocks:
+            return _doc_to_row(url, "html", assemble_empty(forced))
+        return _doc_to_row(url, "html", assemble_html(blocks, title, tables, forced))
+    except ExtractError as e:
+        return error_row(url, sniff_kind(payload), str(e), lang_hint)
+    except RecursionError:
+        return error_row(url, "unknown", "recursion limit", lang_hint)
+    except Exception as e:  # noqa: BLE001 — poison rows must not propagate
+        return error_row(url, "unknown", f"{type(e).__name__}: {e}", lang_hint)

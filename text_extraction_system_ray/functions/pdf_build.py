@@ -1,0 +1,129 @@
+"""Deterministic in-process PDF builder (test fixtures / synthetic corpora).
+
+No PDF libraries exist in this environment, so the engine ships a tiny
+writer producing well-formed single-font PDFs with uncompressed or Flate
+content streams. The extractor (:mod:`pdf_extract`) is golden-tested
+against these — mirroring how the reference pins its extraction semantics
+to its own fixture corpus (``pdf/tests/data/``, SURVEY.md §5.1).
+
+Layout model (frozen, shared with the extractor's width assumptions):
+glyph advance = ``0.5 * font_size`` (Courier-like monospace metric),
+line leading = ``1.2 * font_size``.
+"""
+from __future__ import annotations
+
+import zlib
+from typing import List, Optional, Sequence, Tuple
+
+GLYPH_W = 0.5        # × font size
+LEADING = 1.2        # × font size
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def page_content_stream(
+    lines: Sequence[str],
+    font_size: float = 12.0,
+    x0: float = 72.0,
+    y0: float = 720.0,
+) -> bytes:
+    """One BT..ET text object; each line positioned with Td/T*."""
+    parts = [f"BT /F1 {font_size:g} Tf {font_size * LEADING:g} TL {x0:g} {y0:g} Td"]
+    for i, line in enumerate(lines):
+        if i > 0:
+            parts.append("T*")
+        parts.append(f"({_esc(line)}) Tj")
+    parts.append("ET")
+    return " ".join(parts).encode("latin-1", errors="replace")
+
+
+def build_pdf(
+    pages: Sequence[Sequence[str]],
+    font_size: float = 12.0,
+    compress: bool = False,
+    media_box: Tuple[float, float] = (612.0, 792.0),
+    rotations: Optional[Sequence[int]] = None,
+    image_pages: Optional[Sequence[int]] = None,
+    raw_contents: Optional[Sequence[Optional[bytes]]] = None,
+) -> bytes:
+    """Build a PDF. ``pages`` = list of pages, each a list of text lines.
+
+    ``image_pages``: 1-based page numbers that get a dummy image XObject
+    (drives the needs-OCR classifier analog, ref ``pdf/pdf.py:31-33``).
+    ``raw_contents``: optional per-page raw content stream override.
+    """
+    n = len(pages)
+    rotations = list(rotations or [0] * n)
+    image_set = set(image_pages or [])
+    raw_contents = list(raw_contents or [None] * n)
+
+    objs: List[bytes] = []   # 1-indexed bodies, object i = objs[i-1]
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    # 1: catalog (pages ref patched later) / 2: pages node / 3: font
+    add(b"")  # placeholder catalog
+    add(b"")  # placeholder pages
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    img_num = 0
+    if image_set:
+        img_data = b"\x00" * 16
+        img_num = add(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+            + str(len(img_data)).encode() + b" >>\nstream\n" + img_data
+            + b"\nendstream"
+        )
+
+    page_nums: List[int] = []
+    for i, lines in enumerate(pages):
+        content = raw_contents[i]
+        if content is None:
+            content = page_content_stream(lines, font_size=font_size)
+            if (i + 1) in image_set:
+                content += b" q 100 0 0 100 400 600 cm /Im1 Do Q"
+        filt = b""
+        data = content
+        if compress:
+            data = zlib.compress(content)
+            filt = b"/Filter /FlateDecode "
+        c_num = add(
+            b"<< " + filt + b"/Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        res = b"<< /Font << /F1 " + str(font_num).encode() + b" 0 R >>"
+        if (i + 1) in image_set:
+            res += b" /XObject << /Im1 " + str(img_num).encode() + b" 0 R >>"
+        res += b" >>"
+        p = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
+            + f"{media_box[0]:g} {media_box[1]:g}".encode()
+            + b"] /Rotate " + str(rotations[i]).encode()
+            + b" /Resources " + res
+            + b" /Contents " + str(c_num).encode() + b" 0 R >>"
+        )
+        page_nums.append(add(p))
+
+    kids = b"[" + b" ".join(str(p).encode() + b" 0 R" for p in page_nums) + b"]"
+    objs[1] = (b"<< /Type /Pages /Kids " + kids + b" /Count "
+               + str(len(page_nums)).encode() + b" >>")
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0] * (len(objs) + 1)
+    for i, body in enumerate(objs, start=1):
+        offsets[i] = len(out)
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += f"{offsets[i]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_off).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)

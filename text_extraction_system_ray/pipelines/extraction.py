@@ -1,0 +1,67 @@
+"""The flagship extraction pipeline (SURVEY.md §7.1 minimum slice, grown).
+
+``extract_dataset``: read → extract (actor pool) → EXTRACTED_SCHEMA rows.
+Linear and shuffle-free (SURVEY.md §4.2 "none for the happy path"); the
+extract actors handle oversized PDFs in-process with bounded memory.
+
+``extract_dataset_exploded``: the explicit cross-task skew path — page
+explode → extract → ``groupby(url)`` fan-in. One hash shuffle on ``url``.
+Property: identical output to ``extract_dataset`` (tests/test_chunk.py),
+mirroring the reference's split/chord equivalence (``tasks.py:259-293``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..stages.chunk import SplitGiantRows, merge_group
+from ..stages.extract_stage import ExtractText
+
+
+def extract_dataset(ds: ray.data.Dataset,
+                    cfg: Optional[PipelineConfig] = None,
+                    concurrency: Optional[int] = None) -> ray.data.Dataset:
+    """pages rows → extracted rows. The happy path: zero shuffles."""
+    cfg = cfg or DEFAULT_CONFIG
+    return ds.map_batches(
+        ExtractText,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        # autoscaling pool: never deadlocks when the cluster has fewer
+        # CPUs than the configured max (SURVEY.md §4.3 sizing)
+        concurrency=(1, concurrency or cfg.extract_concurrency),
+        num_cpus=1,
+    )
+
+
+def extract_dataset_exploded(ds: ray.data.Dataset,
+                             cfg: Optional[PipelineConfig] = None,
+                             concurrency: Optional[int] = None) -> ray.data.Dataset:
+    """Explicit page-explode path for giant-PDF-heavy inputs.
+
+    Every PDF row fans out to per-page chunk rows; groupby(url) is the
+    single shuffle. Non-PDF rows ride along as 1-chunk groups, so the
+    caller should pre-filter to the giant subset when mixing (the
+    checkpointed job does; see state/checkpoint.py).
+    """
+    cfg = cfg or DEFAULT_CONFIG
+    ds = ds.map_batches(
+        SplitGiantRows,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=(1, concurrency or cfg.extract_concurrency),
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        ExtractText,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=(1, concurrency or cfg.extract_concurrency),
+        num_cpus=1,
+    )
+    return ds.groupby("url").map_groups(merge_group, batch_format="pyarrow")

@@ -1,0 +1,114 @@
+"""Sources: reading pages Parquet + deterministic synthesis of a pages
+table from the driver's ``documents`` table.
+
+The input contract (BASELINE.json ``input_hint``) is a Parquet table
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+The sandbox provides no real Common-Crawl data, so ``synth_pages`` derives
+one deterministically from ``documents.parquet`` (doc_id, text, lang,
+source): every payload is a pure function of the row, so the corpus is
+identical across runs, scales and parallelism levels — the fixture
+philosophy of FIXTURES.md applied to the benchmark path.
+
+Payload mix (frozen, keyed off doc_id):
+  - doc_id %% 41 == 7  → PDF payload (text laid out 60 chars/line, 30
+    lines/page) — exercises the PDF branch + page records.
+  - doc_id %% 53 == 11 → empty payload (empty-path analog).
+  - else → HTML page: title + nav/footer boilerplate + article with
+    headings every 4 paragraphs and a table every 7th doc.
+"""
+from __future__ import annotations
+
+import datetime as _dt
+from typing import List, Optional
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.pdf_build import build_pdf
+from ..schema import PAGES_SCHEMA
+
+_EPOCH = _dt.datetime(2021, 1, 1)
+
+_NAV = ('<nav class="menu"><a href="/">Home</a> <a href="/news">News</a> '
+        '<a href="/about">About</a> <a href="/contact">Contact</a></nav>')
+_FOOTER = ('<footer>Copyright 2021 Example Corp. <a href="/terms">Terms</a> '
+           '<a href="/privacy">Privacy</a></footer>')
+
+
+def read_pages(paths, columns: Optional[List[str]] = None) -> ray.data.Dataset:
+    """Prune at the read: extraction needs only url/html/lang."""
+    return ray.data.read_parquet(paths, columns=columns)
+
+
+def _sentences_of(text: str, n: int = 12) -> List[str]:
+    words = text.split()
+    return [" ".join(words[i:i + n]) + "." for i in range(0, len(words), n)]
+
+
+def doc_to_page_html(doc_id: int, text: str, source: str) -> bytes:
+    sents = _sentences_of(text)
+    paras = [" ".join(sents[i:i + 3]) for i in range(0, len(sents), 3)]
+    body: List[str] = [f"<h1>Document {doc_id}</h1>"]
+    for j, p in enumerate(paras):
+        if j and j % 4 == 0:
+            body.append(f"<h2>Part {j // 4} of document {doc_id}</h2>")
+        body.append(f"<p>{p}</p>")
+    if doc_id % 7 == 0 and len(sents) >= 2:
+        cells = "".join(
+            f"<tr><td>r{k}</td><td>{len(sents[k % len(sents)])}</td></tr>"
+            for k in range(3))
+        body.append(f"<table><tr><th>key</th><th>len</th></tr>{cells}</table>")
+    html = (f"<html><head><title>Doc {doc_id} ({source})</title></head><body>"
+            f"{_NAV}<article>{''.join(body)}</article>{_FOOTER}</body></html>")
+    return html.encode("utf-8")
+
+
+def doc_to_page_pdf(doc_id: int, text: str) -> bytes:
+    words = text.split()
+    lines: List[str] = []
+    cur: List[str] = []
+    cur_len = 0
+    for w in words:
+        if cur_len + len(w) + 1 > 60 and cur:
+            lines.append(" ".join(cur))
+            cur, cur_len = [], 0
+        cur.append(w)
+        cur_len += len(w) + 1
+    if cur:
+        lines.append(" ".join(cur))
+    pages = [lines[i:i + 30] for i in range(0, len(lines), 30)] or [[""]]
+    return build_pdf(pages)
+
+
+def _documents_to_pages(batch: pa.Table) -> pa.Table:
+    urls, tss, payloads, texts, langs = [], [], [], [], []
+    for doc_id, text, lang, source in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("lang").to_pylist(),
+            batch.column("source").to_pylist()):
+        urls.append(f"https://example.org/{source}/{doc_id:08d}")
+        tss.append(_EPOCH + _dt.timedelta(seconds=int(doc_id)))
+        if doc_id % 53 == 11:
+            payloads.append(b"")
+        elif doc_id % 41 == 7:
+            payloads.append(doc_to_page_pdf(doc_id, text or ""))
+        else:
+            payloads.append(doc_to_page_html(doc_id, text or "", source))
+        texts.append(text or "")
+        langs.append("" if doc_id % 3 == 0 else (lang or ""))
+    return pa.table({"url": urls, "warc_ts": tss, "html": payloads,
+                     "text": texts, "lang": langs}, schema=PAGES_SCHEMA)
+
+
+def synth_pages(sf_dir: str) -> ray.data.Dataset:
+    """documents.parquet → deterministic pages Dataset (input_hint schema)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+    return ds.map_batches(_documents_to_pages, batch_format="pyarrow")
+
+
+def write_synth_pages(sf_dir: str, out_dir: str) -> str:
+    """Materialize the synthetic pages corpus to Parquet (bench input)."""
+    synth_pages(sf_dir).write_parquet(out_dir)
+    return out_dir
