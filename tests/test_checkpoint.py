@@ -1,0 +1,61 @@
+"""Kill/resume semantics of the partition-checkpointed sink (FIXTURES.md
+§4.5 resume invariant; ref analog: task_health re-publisher,
+``task_health.py:82-134``)."""
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from text_extraction_system_ray.state.checkpoint import (
+    committed_partitions, job_metrics, read_output, run_checkpointed)
+
+
+@pytest.fixture()
+def sharded_input(tmp_path, tiny_corpus):
+    files = []
+    n = tiny_corpus.num_rows
+    shard = n // 4
+    for i in range(4):
+        t = tiny_corpus.slice(i * shard, shard if i < 3 else n - 3 * shard)
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+    return files
+
+
+def test_kill_and_resume(ray_session, sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    # phase 1: "crash" after 2 partitions
+    done1 = run_checkpointed(sharded_input, out, stop_after=2)
+    assert len(done1) == 2
+    assert committed_partitions(out) == set(done1)
+    mtimes = {pid: os.path.getmtime(os.path.join(out, "_manifest", f"{pid}.json"))
+              for pid in done1}
+    # phase 2: resume — finishes the rest, does not recompute committed parts
+    done2 = run_checkpointed(sharded_input, out)
+    assert set(done1).isdisjoint(done2)
+    assert len(committed_partitions(out)) == 4
+    for pid in done1:
+        assert os.path.getmtime(
+            os.path.join(out, "_manifest", f"{pid}.json")) == mtimes[pid]
+    # full output equals a fresh single-shot run
+    out2 = str(tmp_path / "out2")
+    run_checkpointed(sharded_input, out2)
+    a = {r["url"]: r["text"] for r in read_output(out).take_all()}
+    b = {r["url"]: r["text"] for r in read_output(out2).take_all()}
+    assert a == b
+    m = job_metrics(out)
+    assert m["partitions"] == 4
+    assert m["rows"] == read_output(out).count() != 0
+
+
+def test_uncommitted_partials_cleaned(ray_session, sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    run_checkpointed(sharded_input, out, stop_after=1)
+    # simulate a crash mid-write: stray part dir without manifest
+    stray = os.path.join(out, "part-99999")
+    os.makedirs(stray, exist_ok=True)
+    open(os.path.join(stray, "junk.parquet"), "w").close()
+    run_checkpointed(sharded_input, out)
+    assert not os.path.isdir(stray)
+    assert len(committed_partitions(out)) == 4

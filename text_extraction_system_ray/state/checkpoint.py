@@ -1,0 +1,163 @@
+"""Resumable partition-checkpointed execution (SURVEY.md §4.4).
+
+Reference analog: the WebDAV ``metadata.json`` durable ledger +
+``tasks_pending/`` mirror + beat re-publisher (``request_metadata.py:113-125``,
+``task_health/task_health.py:39-134``) — at-least-once with idempotence via
+status checks. The Ray engine replaces that with a *partition commit log*:
+
+    out/part-{pid}/...parquet        (atomic: written to _tmp, renamed)
+    out/_manifest/{pid}.json         (commit record + lineage + metrics)
+
+A partition is committed iff its manifest exists; the manifest is written
+only after the output rename. On resume the driver lists manifests and
+feeds only uncommitted input splits to the pipeline — the analog of
+``re_schedule_unknown_pending_tasks`` without the double-delivery race the
+reference comments on at ``tasks.py:551-555``.
+
+The partition unit is a group of input files: deterministic, independent of
+row contents, stable across runs — at production scale the input is many
+Parquet shards, so file groups give natural resume granularity. Each
+manifest doubles as the per-partition metrics record (rows/s, bytes) that
+replaces the reference's HTTP progress callbacks (``tasks.py:345-354``).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import ray.data
+
+from .. import __version__
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..pipelines.extraction import extract_dataset
+
+
+@dataclass
+class Partition:
+    pid: str
+    files: List[str]
+
+
+def plan_partitions(input_files: Sequence[str],
+                    files_per_partition: int = 1) -> List[Partition]:
+    """Deterministic partition plan: sorted files, fixed-size groups,
+    pid = zero-padded index (stable across runs for the same input set)."""
+    files = sorted(input_files)
+    parts = []
+    for i in range(0, len(files), files_per_partition):
+        pid = f"{i // files_per_partition:05d}"
+        parts.append(Partition(pid=pid, files=files[i:i + files_per_partition]))
+    return parts
+
+
+def committed_partitions(out_dir: str) -> set:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
+
+
+def _cleanup_uncommitted(out_dir: str, committed: set) -> None:
+    """Remove partial output dirs with no manifest (crash leftovers)."""
+    tmp = os.path.join(out_dir, "_tmp")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("part-") and name[5:] not in committed:
+                shutil.rmtree(os.path.join(out_dir, name))
+
+
+def run_checkpointed(
+    input_files: Sequence[str],
+    out_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    pipeline: Callable[[ray.data.Dataset, PipelineConfig], ray.data.Dataset] = None,
+    files_per_partition: int = 1,
+    stop_after: Optional[int] = None,
+) -> List[str]:
+    """Run ``pipeline`` over each uncommitted partition; commit atomically.
+
+    Returns the pids processed in this invocation. ``stop_after`` is a test
+    hook simulating a mid-job crash after N partitions.
+    """
+    cfg = cfg or DEFAULT_CONFIG
+    pipeline = pipeline or (lambda ds, c: extract_dataset(ds, c))
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    committed = committed_partitions(out_dir)
+    _cleanup_uncommitted(out_dir, committed)
+    done: List[str] = []
+    for part in plan_partitions(input_files, files_per_partition):
+        if part.pid in committed:
+            continue
+        if stop_after is not None and len(done) >= stop_after:
+            break
+        t0 = time.monotonic()
+        bytes_in = sum(os.path.getsize(f) for f in part.files)
+        ds = ray.data.read_parquet(part.files)
+        out_ds = pipeline(ds, cfg)
+        tmp_dir = os.path.join(out_dir, "_tmp", f"part-{part.pid}")
+        os.makedirs(tmp_dir, exist_ok=True)
+        out_ds.write_parquet(tmp_dir)
+        n_rows = _count_rows(tmp_dir)
+        final_dir = os.path.join(out_dir, f"part-{part.pid}")
+        os.rename(tmp_dir, final_dir)
+        wall = time.monotonic() - t0
+        bytes_out = sum(os.path.getsize(os.path.join(final_dir, f))
+                        for f in os.listdir(final_dir))
+        manifest = {
+            "partition_id": part.pid,
+            "input_files": part.files,
+            "row_count": n_rows,
+            "bytes_in": bytes_in,
+            "bytes_out": bytes_out,
+            "wall_s": round(wall, 4),
+            "rows_per_s": round(n_rows / wall, 2) if wall > 0 else None,
+            "engine_version": __version__,
+        }
+        mpath = os.path.join(out_dir, "_manifest", f"{part.pid}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.rename(mpath + ".tmp", mpath)
+        done.append(part.pid)
+    return done
+
+
+def _count_rows(parquet_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(os.path.join(parquet_dir, f)).metadata.num_rows
+               for f in os.listdir(parquet_dir) if f.endswith(".parquet"))
+
+
+def read_output(out_dir: str) -> ray.data.Dataset:
+    """Read all committed partitions as one Dataset."""
+    files = []
+    for pid in sorted(committed_partitions(out_dir)):
+        pdir = os.path.join(out_dir, f"part-{pid}")
+        files.extend(os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                     if f.endswith(".parquet"))
+    return ray.data.read_parquet(files)
+
+
+def job_metrics(out_dir: str) -> dict:
+    """Aggregate the per-partition manifests (progress/estimate analog)."""
+    mdir = os.path.join(out_dir, "_manifest")
+    total = {"partitions": 0, "rows": 0, "bytes_in": 0, "bytes_out": 0,
+             "wall_s": 0.0}
+    if not os.path.isdir(mdir):
+        return total
+    for f in sorted(os.listdir(mdir)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        total["partitions"] += 1
+        total["rows"] += m["row_count"]
+        total["bytes_in"] += m["bytes_in"]
+        total["bytes_out"] += m["bytes_out"]
+        total["wall_s"] += m["wall_s"]
+    return total
