@@ -21,7 +21,10 @@ from __future__ import annotations
 import re
 from typing import Dict, FrozenSet, List, Tuple
 
+import numpy as np
+
 _TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+_ASCII_ALPHA_RE = re.compile(r"[A-Za-z]+")
 
 # Latin-script stopword profiles (top function words; frozen).
 _PROFILES: List[Tuple[str, FrozenSet[str]]] = [
@@ -39,34 +42,30 @@ _RU_MARKERS = frozenset("ыэъёЫЭЪЁ")
 _BG_MARKERS = frozenset("ъщЪЩ")
 
 
+_EMPTY_COUNTS = {"latin": 0, "cyr": 0, "greek": 0, "cjk": 0, "kana": 0,
+                 "hangul": 0, "arabic": 0, "hebrew": 0, "deva": 0, "thai": 0}
+
+
 def _script_counts(text: str) -> Dict[str, int]:
-    c = {"latin": 0, "cyr": 0, "greek": 0, "cjk": 0, "kana": 0, "hangul": 0,
-         "arabic": 0, "hebrew": 0, "deva": 0, "thai": 0}
-    for ch in text:
-        o = ord(ch)
-        if o < 0x80:
-            if (0x41 <= o <= 0x5A) or (0x61 <= o <= 0x7A):
-                c["latin"] += 1
-        elif 0x0400 <= o <= 0x04FF:
-            c["cyr"] += 1
-        elif 0x0370 <= o <= 0x03FF:
-            c["greek"] += 1
-        elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
-            c["cjk"] += 1
-        elif 0x3040 <= o <= 0x30FF:
-            c["kana"] += 1
-        elif 0xAC00 <= o <= 0xD7AF:
-            c["hangul"] += 1
-        elif 0x0600 <= o <= 0x06FF:
-            c["arabic"] += 1
-        elif 0x0590 <= o <= 0x05FF:
-            c["hebrew"] += 1
-        elif 0x0900 <= o <= 0x097F:
-            c["deva"] += 1
-        elif 0x0E00 <= o <= 0x0E7F:
-            c["thai"] += 1
-        elif o < 0x0250:  # Latin-1 supplement / Latin extended
-            c["latin"] += 1
+    """Per-script character counts, vectorized (this runs per sentence in
+    the enrichment hot path; a per-char Python loop dominated the profile)."""
+    c = dict(_EMPTY_COUNTS)
+    if text.isascii():  # fast path: the overwhelming majority of web text
+        c["latin"] = sum(len(m) for m in _ASCII_ALPHA_RE.findall(text))
+        return c
+    o = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    c["latin"] = int((((o >= 0x41) & (o <= 0x5A)) | ((o >= 0x61) & (o <= 0x7A))
+                      | ((o >= 0x80) & (o < 0x250))).sum())
+    c["cyr"] = int(((o >= 0x0400) & (o <= 0x04FF)).sum())
+    c["greek"] = int(((o >= 0x0370) & (o <= 0x03FF)).sum())
+    c["cjk"] = int((((o >= 0x4E00) & (o <= 0x9FFF))
+                    | ((o >= 0x3400) & (o <= 0x4DBF))).sum())
+    c["kana"] = int(((o >= 0x3040) & (o <= 0x30FF)).sum())
+    c["hangul"] = int(((o >= 0xAC00) & (o <= 0xD7AF)).sum())
+    c["arabic"] = int(((o >= 0x0600) & (o <= 0x06FF)).sum())
+    c["hebrew"] = int(((o >= 0x0590) & (o <= 0x05FF)).sum())
+    c["deva"] = int(((o >= 0x0900) & (o <= 0x097F)).sum())
+    c["thai"] = int(((o >= 0x0E00) & (o <= 0x0E7F)).sum())
     return c
 
 

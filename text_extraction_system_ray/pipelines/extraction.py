@@ -20,9 +20,20 @@ from ..stages.chunk import SplitGiantRows, merge_group
 from ..stages.extract_stage import ExtractText
 
 
+def _pool(concurrency) -> tuple:
+    """int → safe autoscaling (1, n); tuple → fixed pool as given.
+    A fixed pool saturates immediately (autoscaling ramps slowly), but the
+    caller must size it below the cluster CPU count or the pool starves
+    the read/write task operators — bench.py passes tuned fixed tuples,
+    library defaults stay autoscaling."""
+    if isinstance(concurrency, tuple):
+        return concurrency
+    return (1, concurrency)
+
+
 def extract_dataset(ds: ray.data.Dataset,
                     cfg: Optional[PipelineConfig] = None,
-                    concurrency: Optional[int] = None) -> ray.data.Dataset:
+                    concurrency=None) -> ray.data.Dataset:
     """pages rows → extracted rows. The happy path: zero shuffles."""
     cfg = cfg or DEFAULT_CONFIG
     return ds.map_batches(
@@ -30,9 +41,7 @@ def extract_dataset(ds: ray.data.Dataset,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        # autoscaling pool: never deadlocks when the cluster has fewer
-        # CPUs than the configured max (SURVEY.md §4.3 sizing)
-        concurrency=(1, concurrency or cfg.extract_concurrency),
+        concurrency=_pool(concurrency or cfg.extract_concurrency),
         num_cpus=1,
     )
 
@@ -53,7 +62,7 @@ def extract_dataset_exploded(ds: ray.data.Dataset,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=(1, concurrency or cfg.extract_concurrency),
+        concurrency=_pool(concurrency or cfg.extract_concurrency),
         num_cpus=1,
     )
     ds = ds.map_batches(
@@ -61,7 +70,7 @@ def extract_dataset_exploded(ds: ray.data.Dataset,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=(1, concurrency or cfg.extract_concurrency),
+        concurrency=_pool(concurrency or cfg.extract_concurrency),
         num_cpus=1,
     )
     return ds.groupby("url").map_groups(merge_group, batch_format="pyarrow")
