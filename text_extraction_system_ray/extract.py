@@ -81,7 +81,8 @@ def extract_row(url: str, payload: Optional[bytes], lang_hint: str = "",
         forced = lang_hint if cfg.doc_language == "" else cfg.doc_language
         if kind == "pdf":
             pages = extract_pdf(payload, cfg)
-            return _doc_to_row(url, kind, assemble_pdf(pages, forced))
+            return _doc_to_row(url, kind, assemble_pdf(
+                pages, forced, tables_enable=cfg.table_extraction_enable))
         blocks, title, tables = extract_html(payload, cfg)
         if not blocks:
             return _doc_to_row(url, "html", assemble_empty(forced))

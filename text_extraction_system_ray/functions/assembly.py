@@ -162,7 +162,8 @@ def assemble_html(blocks: Sequence[Block], title: Optional[str],
     return _finalize(doc, lang_hint)
 
 
-def assemble_pdf(pages: Sequence[PdfPageIR], lang_hint: str) -> AssembledDoc:
+def assemble_pdf(pages: Sequence[PdfPageIR], lang_hint: str,
+                 tables_enable: bool = True) -> AssembledDoc:
     doc = AssembledDoc()
     b = _Builder()
     para_spans: List[Tuple[int, int]] = []
@@ -185,6 +186,9 @@ def assemble_pdf(pages: Sequence[PdfPageIR], lang_hint: str) -> AssembledDoc:
                                          pg.width, pg.height, pg.rotation))
         if page_needs_ocr(pg):
             doc.needs_ocr_pages.append(pg.number)
+        if tables_enable:
+            from .pdf_tables import detect_pdf_tables
+            doc.tables.extend(detect_pdf_tables(pg, pg.number))
     doc.text, doc.char_spans = b.finish()
     doc.pages = page_records
     doc.paragraphs = [{"start": s, "end": e} for s, e in para_spans]

@@ -1,0 +1,123 @@
+"""Rotation / skew math (pure numpy — no cv2/tesseract in this env).
+
+Reference analogs:
+- ``normalize_angle_90``: inscribe an angle into (-45, 45]
+  (``data_extract/data_extract.py:365-374``).
+- ``weighted_average_angle``: char-count-weighted average with 10% tail
+  trim (``ocr/rotation_detection.py:165-230`` WeightedAverage; also the
+  Java ``WeightedCharAngle.java:25-119``).
+- ``cluster_angles``: merge candidate angles closer than 3° and pick the
+  weighted mode, with the stddev acceptance gate
+  ``mean_dev < sqrt((|mean| + 0.32) * 0.25)``
+  (``PDFToTextWithCoordinates.java:285-452`` AngleCollector).
+- ``shift_trend_vote``: count right/left/up/down inter-char shifts →
+  0 / 90 / -90 / 180 vote with ≥40 samples and 4×/2× majority rules
+  (``PDFToTextWithCoordinates.java:354-370`` getAngleByTrend).
+- ``osd_accept``: tesseract OSD acceptance rule ``script_conf > 1 and
+  orientation_conf > 3`` (``ocr/ocr.py:240-241``).
+
+The raster-based detectors (deskew lib, dilated-rows cv2 pipeline —
+``rotation_detection.py:38-126``) need image codecs and are STUBBED:
+``detect_rotation_raster`` raises NotImplementedError.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def normalize_angle_90(angle: float) -> float:
+    """Inscribe into (-45, 45] by removing the nearest multiple of 90."""
+    a = angle % 90.0
+    if a > 45.0:
+        a -= 90.0
+    return a
+
+
+def weighted_average_angle(angles: Sequence[float],
+                           weights: Sequence[float],
+                           trim_quantile: float = 0.1) -> float:
+    """Weight-weighted mean of angles after trimming the ``trim_quantile``
+    weight mass from each tail (sorted by angle)."""
+    a = np.asarray(angles, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if a.size == 0:
+        return 0.0
+    order = np.argsort(a, kind="stable")
+    a, w = a[order], w[order]
+    total = w.sum()
+    if total <= 0:
+        return 0.0
+    cum = np.cumsum(w)
+    lo_cut = trim_quantile * total
+    hi_cut = (1.0 - trim_quantile) * total
+    keep = (cum > lo_cut) & ((cum - w) < hi_cut)
+    if not keep.any():
+        keep = np.ones_like(a, dtype=bool)
+    return float(np.average(a[keep], weights=w[keep]))
+
+
+def cluster_angles(angles: Sequence[float], weights: Sequence[float],
+                   merge_deg: float = 3.0) -> Tuple[float, bool]:
+    """Merge angles closer than ``merge_deg`` into clusters; return the
+    weighted-mode cluster's weighted mean and whether it passes the
+    deviation gate ``mean_dev < sqrt((|mean| + 0.32) * 0.25)``."""
+    a = np.asarray(angles, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if a.size == 0:
+        return 0.0, False
+    order = np.argsort(a, kind="stable")
+    a, w = a[order], w[order]
+    clusters: List[List[int]] = [[0]]
+    for i in range(1, a.size):
+        if a[i] - a[clusters[-1][0]] < merge_deg:
+            clusters[-1].append(i)
+        else:
+            clusters.append([i])
+    best = max(clusters, key=lambda c: (w[c].sum(), -a[c[0]]))
+    idx = np.asarray(best)
+    mean = float(np.average(a[idx], weights=w[idx]))
+    mean_dev = float(np.average(np.abs(a[idx] - mean), weights=w[idx]))
+    ok = mean_dev < np.sqrt((abs(mean) + 0.32) * 0.25)
+    return mean, bool(ok)
+
+
+def shift_trend_vote(boxes: np.ndarray, min_samples: int = 40) -> int:
+    """Rotation vote from inter-char shift directions over index-ordered
+    char boxes (n, 4): returns 0, 90, -90 or 180 degrees."""
+    b = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    real = b[(b[:, 2] > 0) & (b[:, 3] > 0)]
+    if real.shape[0] < 2:
+        return 0
+    dx = np.diff(real[:, 0])
+    dy = np.diff(real[:, 1])
+    right = int((dx > 0).sum())
+    left = int((dx < 0).sum())
+    up = int((dy > 0).sum())
+    down = int((dy < 0).sum())
+    n = dx.size
+    if n < min_samples:
+        return 0
+    if up > 4 * right and up > 4 * left:
+        return 90
+    if down > 4 * right and down > 4 * left:
+        return -90
+    if left > 2 * right and max(up, down) < left:
+        return 180
+    return 0
+
+
+def osd_accept(script_conf: float, orientation_conf: float) -> bool:
+    """Tesseract OSD acceptance rule (``ocr/ocr.py:240-241``)."""
+    return script_conf > 1.0 and orientation_conf > 3.0
+
+
+def detect_rotation_raster(image_bytes: bytes, method: str = "dilated_rows"):
+    """STUB — raster rotation detection (deskew / tiled deskew /
+    blur→Otsu→dilate→contours pipelines, ``rotation_detection.py:38-126``)
+    requires cv2/PIL, absent in this environment. The char-box-based
+    detectors above cover born-digital documents."""
+    raise NotImplementedError(
+        "raster rotation detection requires cv2/PIL (not in this env); "
+        "use cluster_angles/shift_trend_vote over char boxes instead")

@@ -112,12 +112,15 @@ def lsh_cosine_topk(sf_dir: str, k: int = _K) -> pd.DataFrame:
     planes = rng.normal(size=(dim, _PLANES))
     q_sig = (qn @ planes > 0).astype(np.uint8)
     q_buckets = q_sig @ (1 << np.arange(_PLANES, dtype=np.uint32))
-    # candidate bucket set: query bucket + all 1-bit flips
+    # multiprobe: query bucket + all 1-bit and 2-bit flips (recall/scan
+    # trade-off: ~15% of buckets scanned at 8 planes)
     cand_buckets = set()
     for b in q_buckets.tolist():
         cand_buckets.add(int(b))
         for bit in range(_PLANES):
             cand_buckets.add(int(b) ^ (1 << bit))
+            for bit2 in range(bit + 1, _PLANES):
+                cand_buckets.add(int(b) ^ (1 << bit) ^ (1 << bit2))
     ref = ray.put((qids, qn, planes, cand_buckets))
 
     class BucketScore:

@@ -74,3 +74,32 @@ def extract_dataset_exploded(ds: ray.data.Dataset,
         num_cpus=1,
     )
     return ds.groupby("url").map_groups(merge_group, batch_format="pyarrow")
+
+
+def extract_document(payload: bytes, url: str = "doc",
+                     lang_hint: str = "",
+                     cfg: Optional[PipelineConfig] = None) -> dict:
+    """Synchronous single-document convenience API (ref analog: the sync
+    extraction endpoints, ``web_api.py:372-470`` — same pipeline, direct
+    result). Returns the extract_row() dict."""
+    from ..extract import extract_row
+    return extract_row(url, payload, lang_hint, cfg or DEFAULT_CONFIG)
+
+
+def extract_items(items, cfg: Optional[PipelineConfig] = None) -> ray.data.Dataset:
+    """Small-batch convenience: list of {url, html, lang} dicts → extracted
+    Dataset (ref analog: ``from_items`` path for sync endpoints,
+    SURVEY.md §2.1 S3)."""
+    return extract_dataset(ray.data.from_items(items), cfg)
+
+
+def dedup_pages(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Optional exact url-dedup before extraction: hash-partition on url,
+    first-wins (SURVEY.md §4.2(3) — an extension, not reference
+    semantics; the reference keys everything by request_id)."""
+    import pandas as pd
+
+    def first(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.sort_values("url").head(1)
+
+    return ds.groupby("url").map_groups(first, batch_format="pandas")
