@@ -1,0 +1,87 @@
+"""Optional OCR stage — actor-pool plumbing with a pluggable backend.
+
+Reference analog: the per-page OCR pipeline (``process_pdf_page``,
+``data_extract/data_extract.py:297-362`` — orientation probe → rotation →
+tesseract → text-layer PDF, merged back via ``MergeInPageLayers``).
+
+No tesseract exists in this environment, so the stage ships with:
+- ``TesseractBackend`` — raises NotImplementedError at construction
+  (clearly marked stub; drop in pytesseract in a real deployment), and
+- ``FakeOcrBackend`` — a deterministic stand-in (text derived from the
+  page payload hash) so the Ray-side plumbing (actor signature, batch
+  flow, output layout) is real and tested.
+
+Design divergence (documented): the reference merges OCR text INTO the
+PDF and re-extracts; this engine keeps the byte-identity text column
+untouched and emits OCR results as a separate ``ocr_pages`` column
+(list<struct<page:int32, text:string>>), joined to needs_ocr_pages.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.pdf_extract import split_pdf_to_page_pdfs
+
+
+class OcrBackend:
+    def ocr_page(self, page_pdf: bytes, language: str) -> str:
+        raise NotImplementedError
+
+
+class TesseractBackend(OcrBackend):
+    """STUB — requires the tesseract binary / pytesseract (ref
+    ``ocr/ocr.py:80-131``: ``tesseract --psm 1|3 -c
+    tessedit_create_pdf=1``), neither present in this environment."""
+
+    def __init__(self):
+        raise NotImplementedError(
+            "tesseract is not available in this environment; "
+            "use FakeOcrBackend for plumbing tests")
+
+
+class FakeOcrBackend(OcrBackend):
+    """Deterministic fake: 'ocr page <digest>' from the page bytes."""
+
+    def ocr_page(self, page_pdf: bytes, language: str) -> str:
+        digest = hashlib.sha1(page_pdf).hexdigest()[:12]
+        return f"[ocr:{language or 'osd'}:{digest}]"
+
+
+class OcrPages:
+    """map_batches actor: for extracted rows whose ``needs_ocr_pages`` is
+    non-empty, re-split the original payload per page and OCR those pages.
+    Input batch needs columns: url, html (original payload),
+    needs_ocr_pages. Output: adds ``ocr_pages``."""
+
+    def __init__(self, backend: Optional[OcrBackend] = None,
+                 cfg: Optional[PipelineConfig] = None, language: str = ""):
+        self.backend = backend or FakeOcrBackend()
+        self.cfg = cfg or DEFAULT_CONFIG
+        self.language = language
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: List[list] = []
+        for i in range(batch.num_rows):
+            need = batch.column("needs_ocr_pages")[i].as_py() or []
+            payload = batch.column("html")[i].as_py()
+            results = []
+            if need and payload:
+                try:
+                    chunks = dict(split_pdf_to_page_pdfs(payload, self.cfg))
+                    for page_no in need:
+                        if page_no in chunks:
+                            results.append({
+                                "page": page_no,
+                                "text": self.backend.ocr_page(
+                                    chunks[page_no], self.language),
+                            })
+                except Exception:   # noqa: BLE001 — OCR failure ≠ row failure
+                    results = []
+            out.append(results)
+        typ = pa.list_(pa.struct([("page", pa.int32()),
+                                  ("text", pa.string())]))
+        return batch.append_column("ocr_pages", pa.array(out, typ))

@@ -161,3 +161,27 @@ def job_metrics(out_dir: str) -> dict:
         total["bytes_out"] += m["bytes_out"]
         total["wall_s"] += m["wall_s"]
     return total
+
+
+def query_status(out_dir: str, sort_column: str = "partition_id",
+                 descending: bool = False, page_index: int = 0,
+                 records_on_page: int = 20):
+    """Sorted + paginated view over the partition manifests (reference
+    analog: status list/query/sort/paginate endpoints,
+    ``web_api.py:175-219`` with ``sort_column``/``records_on_page``/
+    ``page_index``)."""
+    import pandas as pd
+    mdir = os.path.join(out_dir, "_manifest")
+    rows = []
+    if os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            if f.endswith(".json"):
+                with open(os.path.join(mdir, f)) as fh:
+                    rows.append(json.load(fh))
+    df = pd.DataFrame(rows)
+    if df.empty:
+        return df
+    df = df.sort_values(sort_column, ascending=not descending,
+                        kind="stable")
+    start = page_index * records_on_page
+    return df.iloc[start:start + records_on_page].reset_index(drop=True)
