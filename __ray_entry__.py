@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _rel.events_hourly,
         "events_sessionize": _rel.events_sessionize,
         "segment_counts": _rel.segment_counts,
+        "events_orders_asof": _rel.events_orders_asof,
+        "customers_semi_join": _rel.customers_with_f_orders,
+        "customers_anti_join": _rel.customers_without_big_orders,
+        "union_all_keys": _rel.union_all_keys,
         # dedup family
         "dedup_exact": _dedup.exact_dedup,                  # SQL-checked
         "dedup_minhash_candidates": _dedup.minhash_candidates,
@@ -176,6 +180,34 @@ def oracle_sql() -> dict[str, str]:
         "segment_counts": """
             SELECT c_mktsegment, COUNT(*) AS n_customers
             FROM customer GROUP BY c_mktsegment
+        """,
+        "events_orders_asof": """
+            WITH od AS (
+                SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS o_orderkey,
+                       arg_max(o_totalprice, o_orderkey) AS o_totalprice
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, e.ts, od.o_orderkey,
+                   ROUND(od.o_totalprice, 2) AS o_totalprice
+            FROM events e ASOF JOIN od
+              ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        """,
+        "customers_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "customers_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000)
+        """,
+        "union_all_keys": """
+            SELECT c_custkey AS key, 'customer' AS src FROM customer
+            UNION ALL
+            SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,

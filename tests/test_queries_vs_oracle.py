@@ -49,7 +49,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def test_all_queries_run(entrymod):
     qs = entrymod.queries()
-    assert len(qs) >= 20
+    assert len(qs) >= 24
     for name, fn in qs.items():
         res = _to_df(fn(SF_DIR))
         assert isinstance(res, pd.DataFrame), name
@@ -61,6 +61,8 @@ def test_all_queries_run(entrymod):
     "top_orders", "filter_high_discount", "events_hourly",
     "events_sessionize", "segment_counts", "dedup_exact", "token_count",
     "doc_stats", "quality_score", "ann_cosine_topk", "embedding_neardups",
+    "events_orders_asof", "customers_semi_join", "customers_anti_join",
+    "union_all_keys",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

@@ -226,3 +226,146 @@ def segment_counts(sf_dir: str) -> pd.DataFrame:
                                columns=["c_mktsegment"])
     return ds.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_customers")).to_pandas()
+
+
+# ---------------------------------------------------------- as-of join
+def events_orders_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join (custom operator — Ray Data has none): each event joins
+    the most recent order of the same key with o_orderdate <= ts.
+
+    Physical plan: both sides tagged + aligned → union → ``groupby(key)``
+    co-partition → ``pd.merge_asof`` per group (ray_guide 'As-of / range
+    join'). Ties on (key, date) are pre-reduced to max o_orderkey so the
+    result is deterministic on both engines."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts", "value"])
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["user_id"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+            "o_totalprice": pa.nulls(t.num_rows, pa.float64()),
+            "side": pa.array([0] * t.num_rows, pa.int8())})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(t["o_custkey"], pa.int64()), "ts": t["o_orderdate"],
+            "event_id": pa.nulls(t.num_rows, pa.int64()),
+            "o_orderkey": t["o_orderkey"],
+            "o_totalprice": t["o_totalprice"],
+            "side": pa.array([1] * t.num_rows, pa.int8())})
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        od.map_batches(tag_orders, batch_format="pyarrow"))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["k", "ts", "event_id"]].sort_values(
+            ["ts", "event_id"])
+        right = g[g["side"] == 1][["ts", "o_orderkey", "o_totalprice"]] \
+            .sort_values(["ts", "o_orderkey"]) \
+            .drop_duplicates("ts", keep="last")
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_totalprice": pd.Series([], dtype="float64")})
+        if left.empty or right.empty:
+            return empty
+        m = pd.merge_asof(left, right, on="ts", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        if m.empty:
+            return empty
+        out = pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["k"].astype("int64"),
+            "ts": m["ts"],
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "o_totalprice": round_half_up(m["o_totalprice"], 2)})
+        return out
+
+    return both.groupby("k").map_groups(asof, batch_format="pandas") \
+        .to_pandas()
+
+
+# ------------------------------------------------------- semi / anti join
+def customers_with_f_orders(sf_dir: str) -> pd.DataFrame:
+    """Semi join via broadcast key set (ray_guide 'Semi / anti join'):
+    the distinct filtered keys are bounded by the dimension size, so they
+    broadcast instead of shuffling the fact table."""
+    import pyarrow.parquet as pq
+    keys = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderstatus"])
+    key_set = set(pc.filter(
+        keys["o_custkey"],
+        pc.equal(keys["o_orderstatus"], pa.scalar("F"))).to_pylist())
+    ref = ray.put(key_set)
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.keys
+                             for k in t.column("c_custkey").to_pylist()])
+            return t.filter(mask)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+    return ds.map_batches(Semi, batch_format="pyarrow",
+                          concurrency=(1, 2)).to_pandas()
+
+
+def customers_without_big_orders(sf_dir: str, threshold: float = 400000.0) -> pd.DataFrame:
+    """Anti join via broadcast key set: customers with NO order above
+    ``threshold``."""
+    import pyarrow.parquet as pq
+    keys = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    key_set = set(pc.filter(
+        keys["o_custkey"],
+        pc.greater(keys["o_totalprice"], pa.scalar(threshold))).to_pylist())
+    ref = ray.put(key_set)
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k not in self.keys
+                             for k in t.column("c_custkey").to_pylist()])
+            return t.filter(mask)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+    df = ds.map_batches(Anti, batch_format="pyarrow",
+                        concurrency=(1, 2)).to_pandas()
+    if df.empty:   # Ray drops the schema on an all-filtered dataset
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                           "c_name": pd.Series([], dtype="object")})
+    return df
+
+
+# ---------------------------------------------------------------- set ops
+def union_all_keys(sf_dir: str) -> pd.DataFrame:
+    """Dataset.union with schema alignment (the reference has no set ops —
+    SURVEY §2.6; this is engine capability)."""
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    s = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey"])
+
+    def tag_c(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pc.cast(t["c_custkey"], pa.int64()),
+                         "src": pa.array(["customer"] * t.num_rows)})
+
+    def tag_s(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pc.cast(t["s_suppkey"], pa.int64()),
+                         "src": pa.array(["supplier"] * t.num_rows)})
+
+    return c.map_batches(tag_c, batch_format="pyarrow").union(
+        s.map_batches(tag_s, batch_format="pyarrow")).to_pandas()
