@@ -1,0 +1,84 @@
+"""Property-based fuzzing: extract_row must NEVER raise and must uphold
+the structural invariants for ARBITRARY payload bytes — web-scale inputs
+are adversarial by default (ref precedent: injured-document detection and
+recursion workarounds, ``processes.py:47-61``, ``tasks.py:72-81``)."""
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from text_extraction_system_ray.extract import extract_row
+from text_extraction_system_ray.functions.segment import sentence_spans
+
+_SETTINGS = dict(max_examples=150, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+def _check_invariants(r):
+    assert r["status"] in ("ok", "error")
+    assert r["char_spans"].shape == (len(r["text"]), 4)
+    assert "\x00" not in r["text"]
+    pos = 0
+    for p in r["pages"]:
+        assert p["start"] == pos
+        pos = p["end"]
+    assert pos == len(r["text"])
+    for coll in ("sentences", "paragraphs"):
+        for s in r[coll]:
+            assert 0 <= s["start"] <= s["end"] <= len(r["text"])
+
+
+@given(st.binary(max_size=4096))
+@settings(**_SETTINGS)
+def test_arbitrary_bytes_never_crash(payload):
+    _check_invariants(extract_row("u", payload))
+
+
+@given(st.text(max_size=2048))
+@settings(**_SETTINGS)
+def test_arbitrary_text_as_html(text):
+    _check_invariants(extract_row("u", text.encode("utf-8", "ignore")))
+
+
+_TAGS = st.sampled_from(["p", "div", "span", "a", "b", "h1", "h2", "li",
+                         "table", "tr", "td", "pre", "br", "script",
+                         "nav", "footer", "title", "zzz"])
+
+
+@st.composite
+def _html_soup(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 30))):
+        kind = draw(st.integers(0, 3))
+        tag = draw(_TAGS)
+        if kind == 0:
+            parts.append(f"<{tag}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        elif kind == 2:
+            parts.append(draw(st.text(max_size=40)))
+        else:
+            parts.append(f"<{tag} class='{draw(st.text(max_size=10))}'>")
+    return "".join(parts)
+
+
+@given(_html_soup())
+@settings(**_SETTINGS)
+def test_malformed_html_soup(html):
+    r = extract_row("u", html.encode("utf-8", "ignore"))
+    _check_invariants(r)
+    # determinism under fuzz
+    r2 = extract_row("u", html.encode("utf-8", "ignore"))
+    assert r["text"] == r2["text"]
+
+
+@given(st.binary(min_size=5, max_size=2048).map(lambda b: b"%PDF-" + b))
+@settings(**_SETTINGS)
+def test_pdf_magic_fuzz(payload):
+    _check_invariants(extract_row("u", payload))
+
+
+@given(st.text(max_size=500))
+@settings(**_SETTINGS)
+def test_sentence_spans_bounds(text):
+    for s, e in sentence_spans(text):
+        assert 0 <= s < e <= len(text)
+        assert not text[s].isspace() and not text[e - 1].isspace()
