@@ -103,3 +103,39 @@ def test_truncated_pdf_error_row():
     r = extract_row("u", b"%PDF-1.4\nhalf a pdf")
     assert r["status"] == "error"
     assert r["text"] == ""
+
+
+def test_pdf_outlines_toc():
+    """TOC from /Outlines + TOC-path sections (ref: GetTOCFromPDF.java
+    + get_sections_from_table_of_contents, data_extract.py:220-263)."""
+    from text_extraction_system_ray.config import PipelineConfig
+    outlines = [
+        {"title": "Chapter 1", "page": 1, "level": 1, "x": 72, "y": 720},
+        {"title": "Section 1.1", "page": 1, "level": 2, "x": 72, "y": 705.6},
+        {"title": "Chapter 2", "page": 2, "level": 1, "x": 72, "y": 720},
+    ]
+    pdf = build_pdf([["Chapter 1", "Section 1.1 text here"],
+                     ["Chapter 2", "more text"]], outlines=outlines)
+    r = extract_row("u", pdf)
+    assert [t["title"] for t in r["toc"]] == ["Chapter 1", "Section 1.1",
+                                              "Chapter 2"]
+    assert [t["level"] for t in r["toc"]] == [1, 2, 1]
+    assert [t["page"] for t in r["toc"]] == [1, 1, 2]
+    # sections off by default
+    assert r["sections"] == []
+    cfg = PipelineConfig(read_sections_from_toc=True)
+    r2 = extract_row("u", pdf, cfg=cfg)
+    secs = r2["sections"]
+    assert [s["title"] for s in secs] == ["Chapter 1", "Section 1.1",
+                                          "Chapter 2"]
+    # Chapter 1 closes at Chapter 2 (same level); Section 1.1 nested
+    assert secs[0]["end"] == secs[2]["start"]
+    assert secs[1]["abs_level"] == 2
+    # section start anchors at the nearest char to the dest coords
+    assert r2["text"][secs[0]["start"]:].startswith("Chapter 1")
+    assert r2["text"][secs[2]["start"]:].startswith("Chapter 2")
+
+
+def test_pdf_no_outlines_empty_toc():
+    r = extract_row("u", build_pdf([["plain page"]]))
+    assert r["toc"] == []

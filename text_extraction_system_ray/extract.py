@@ -17,9 +17,9 @@ import numpy as np
 
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions.assembly import (AssembledDoc, assemble_empty, assemble_html,
-                                 assemble_pdf)
+                                 assemble_pdf, sections_from_toc)
 from .functions.html_extract import ExtractError, extract_html
-from .functions.pdf_extract import extract_pdf
+from .functions.pdf_extract import extract_pdf, extract_pdf_toc
 
 PDF_MAGIC = b"%PDF-"
 
@@ -87,8 +87,13 @@ def extract_row(url: str, payload: Optional[bytes], lang_hint: str = "",
         forced = lang_hint if cfg.doc_language == "" else cfg.doc_language
         if kind == "pdf":
             pages = extract_pdf(payload, cfg)
-            return _doc_to_row(url, kind, assemble_pdf(
-                pages, forced, tables_enable=cfg.table_extraction_enable))
+            doc = assemble_pdf(pages, forced,
+                               tables_enable=cfg.table_extraction_enable)
+            doc.toc = extract_pdf_toc(payload, cfg)
+            if cfg.read_sections_from_toc and doc.toc:
+                doc.sections = sections_from_toc(
+                    doc.toc, doc.char_spans, doc.pages, len(doc.text))
+            return _doc_to_row(url, kind, doc)
         blocks, title, tables = extract_html(payload, cfg)
         if not blocks:
             return _doc_to_row(url, "html", assemble_empty(forced))

@@ -200,3 +200,45 @@ def assemble_empty(lang_hint: str) -> AssembledDoc:
     doc = AssembledDoc()
     doc.language = lang_hint or "en"
     return doc
+
+
+def sections_from_toc(toc: List[dict], char_spans: np.ndarray,
+                      pages: List[dict], text_len: int) -> List[dict]:
+    """TOC-path section building (ref
+    ``get_sections_from_table_of_contents``, ``data_extract.py:220-263``):
+    map each TOC entry to the nearest char by (left, top) within its page
+    (``find_closest_symbol_pos`` analog, ``coord_text_map.py:68-94``),
+    sort by start, close each section at the next same-or-higher level."""
+    from .coord_map import find_closest_char
+    anchored = []
+    for e in toc:
+        page = next((p for p in pages if p["number"] == e["page"]), None)
+        if page is None:
+            continue
+        idx = find_closest_char(char_spans, e["left"], e["top"],
+                                page["start"], page["end"])
+        if idx < 0:
+            idx = page["start"]
+        anchored.append((idx, e))
+    anchored.sort(key=lambda t: t[0])
+    sections: List[dict] = []
+    level_stack: List[int] = []
+    for i, (start, e) in enumerate(anchored):
+        end = text_len
+        for start2, e2 in anchored[i + 1:]:
+            if e2["level"] <= e["level"]:
+                end = start2
+                break
+        while level_stack and level_stack[-1] >= e["level"]:
+            level_stack.pop()
+        level_stack.append(e["level"])
+        sections.append({
+            "start": start, "end": end, "title": e["title"],
+            "title_start": start,
+            "title_end": min(start + len(e["title"]), end),
+            "level": e["level"], "abs_level": len(level_stack),
+            "left": float(e["left"]), "top": float(e["top"]),
+            "page": e["page"],
+        })
+    sections.sort(key=lambda s: s["start"])
+    return sections

@@ -47,12 +47,16 @@ def build_pdf(
     rotations: Optional[Sequence[int]] = None,
     image_pages: Optional[Sequence[int]] = None,
     raw_contents: Optional[Sequence[Optional[bytes]]] = None,
+    outlines: Optional[Sequence[dict]] = None,
 ) -> bytes:
     """Build a PDF. ``pages`` = list of pages, each a list of text lines.
 
     ``image_pages``: 1-based page numbers that get a dummy image XObject
     (drives the needs-OCR classifier analog, ref ``pdf/pdf.py:31-33``).
     ``raw_contents``: optional per-page raw content stream override.
+    ``outlines``: bookmark entries ``{title, page (1-based), level
+    (1-based), x, y}`` — a flat list; nesting is reconstructed from
+    ``level`` (drives the TOC path, ref ``GetTOCFromPDF.java:37-95``).
     """
     n = len(pages)
     rotations = list(rotations or [0] * n)
@@ -111,7 +115,58 @@ def build_pdf(
     kids = b"[" + b" ".join(str(p).encode() + b" 0 R" for p in page_nums) + b"]"
     objs[1] = (b"<< /Type /Pages /Kids " + kids + b" /Count "
                + str(len(page_nums)).encode() + b" >>")
-    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+
+    outline_root = 0
+    if outlines:
+        # reserve object numbers: root + one per item
+        outline_root = add(b"")
+        item_nums = [add(b"") for _ in outlines]
+        # reconstruct nesting from levels
+        parents = [0] * len(outlines)      # index into item list, -1 = root
+        stack: List[int] = []              # indices of open ancestors
+        for i, o in enumerate(outlines):
+            lvl = int(o.get("level", 1))
+            while stack and int(outlines[stack[-1]].get("level", 1)) >= lvl:
+                stack.pop()
+            parents[i] = stack[-1] if stack else -1
+            stack.append(i)
+        children = {p: [i for i in range(len(outlines)) if parents[i] == p]
+                    for p in range(-1, len(outlines))}
+
+        def item_body(i: int) -> bytes:
+            o = outlines[i]
+            page_ref = page_nums[int(o["page"]) - 1]
+            parent_ref = outline_root if parents[i] == -1 else item_nums[parents[i]]
+            sibs = children[parents[i]]
+            k = sibs.index(i)
+            body = (b"<< /Title (" + _esc(str(o["title"])).encode("latin-1", "replace")
+                    + b") /Parent " + str(parent_ref).encode() + b" 0 R")
+            if k > 0:
+                body += b" /Prev " + str(item_nums[sibs[k - 1]]).encode() + b" 0 R"
+            if k + 1 < len(sibs):
+                body += b" /Next " + str(item_nums[sibs[k + 1]]).encode() + b" 0 R"
+            kids_i = children.get(i, [])
+            if kids_i:
+                body += (b" /First " + str(item_nums[kids_i[0]]).encode() + b" 0 R"
+                         b" /Last " + str(item_nums[kids_i[-1]]).encode() + b" 0 R"
+                         b" /Count " + str(len(kids_i)).encode())
+            body += (b" /Dest [" + str(page_ref).encode() + b" 0 R /XYZ "
+                     + f"{float(o.get('x', 0)):g} {float(o.get('y', 0)):g}".encode()
+                     + b" null] >>")
+            return body
+
+        for i, num in enumerate(item_nums):
+            objs[num - 1] = item_body(i)
+        top = children[-1]
+        objs[outline_root - 1] = (
+            b"<< /Type /Outlines /First " + str(item_nums[top[0]]).encode()
+            + b" 0 R /Last " + str(item_nums[top[-1]]).encode() + b" 0 R /Count "
+            + str(len(top)).encode() + b" >>")
+
+    cat = b"<< /Type /Catalog /Pages 2 0 R"
+    if outline_root:
+        cat += b" /Outlines " + str(outline_root).encode() + b" 0 R"
+    objs[0] = cat + b" >>"
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0] * (len(objs) + 1)

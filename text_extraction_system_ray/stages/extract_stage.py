@@ -71,5 +71,20 @@ class ExtractText:
                 forced = (cfg.doc_language or (lang_hint or "").strip().lower()[:2])
                 rows = [extract_row(url, pdf_bytes, lang_hint, cfg)
                         for _no, pdf_bytes in chunks]
-                return merge_extracted_rows(rows, forced)
+                merged = merge_extracted_rows(rows, forced)
+                # outline nesting does not survive per-page chunk PDFs
+                # (level = tree depth); re-read the whole-document TOC so
+                # the in-actor split stays byte-identical to the oracle
+                if merged["status"] == "ok":
+                    try:
+                        from ..functions.assembly import sections_from_toc
+                        from ..functions.pdf_extract import extract_pdf_toc
+                        merged["toc"] = extract_pdf_toc(payload, cfg)
+                        if cfg.read_sections_from_toc and merged["toc"]:
+                            merged["sections"] = sections_from_toc(
+                                merged["toc"], merged["char_spans"],
+                                merged["pages"], len(merged["text"]))
+                    except Exception:
+                        pass
+                return merged
         return extract_row(url, payload, lang_hint, cfg)
