@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": _ann.cosine_topk,                # SQL-checked
         "ann_lsh_topk": _ann.lsh_cosine_topk,
+        "ann_ivf_topk": _ann.ivf_cosine_topk,
         "embedding_neardups": _ann.embedding_neardup_pairs,  # SQL-checked
         # multimodal plumbing (stubbed decode kernel, real dataflow)
         "image_metadata": _mm.image_metadata,

@@ -114,3 +114,18 @@ def test_decode_stage_error_rows():
     out = DecodeImages()(t)
     assert out.column("status").to_pylist() == ["ok", "error"]
     assert out.column("width").to_pylist()[0] == 4
+
+
+def test_ann_ivf_recall(ray_session):
+    sf = "/root/testdata/sf0.001"
+    exact = _ann.cosine_topk(sf)
+    approx = _ann.ivf_cosine_topk(sf)
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # self vector is always in a probed list
+    assert all(qid in set(approx[approx["query_id"] == qid]["vec_id"])
+               for qid in exact["query_id"].unique())
+    assert sum(recalls) / len(recalls) >= 0.3

@@ -204,3 +204,80 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFram
                              "id_b": pd.Series([], dtype="int64"),
                              "cos": pd.Series([], dtype="float64")})
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _kmeans_lite(mat: np.ndarray, k: int, iters: int = 8,
+                 seed: int = 42) -> np.ndarray:
+    """Deterministic seeded k-means on normalized vectors (driver-side,
+    runs on a bounded sample — the index-build step of IVF)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(mat), size=min(k, len(mat)), replace=False)
+    centroids = mat[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for j in range(len(centroids)):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    centroids[j] = c / n
+    return centroids
+
+
+def ivf_cosine_topk(sf_dir: str, k: int = _K, n_lists: int = 16,
+                    n_probe: int = 4) -> pd.DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer built once on a
+    driver-side sample, broadcast; each batch scans only vectors whose
+    nearest centroid is among the query's ``n_probe`` closest lists, then
+    exact cosine re-rank. The at-scale layout would hash-partition the
+    corpus by list id so probes touch only matching partitions."""
+    ids_all, mat = _embeddings_matrix(sf_dir)
+    sample = _normalize(mat[:4096])
+    centroids = _kmeans_lite(sample, n_lists)
+    qids, q = _query_matrix(sf_dir)
+    qn = _normalize(q)
+    probe_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    probe_set = set(probe_lists.reshape(-1).tolist())
+    ref = ray.put((qids, qn, centroids, probe_set))
+
+    class IvfScore:
+        def __init__(self):
+            self.qids, self.qn, self.centroids, self.probe = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            m = _normalize(np.asarray(t.column("embedding").to_pylist(),
+                                      dtype=np.float64))
+            lists = np.argmax(m @ self.centroids.T, axis=1)
+            mask = np.isin(lists, list(self.probe))
+            ids, m = ids[mask], m[mask]
+            if len(ids) == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            sims = m @ self.qn.T
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(self.qids):
+                col = round_half_up(sims[:, j], 6)
+                order = np.lexsort((ids, -col))[:_K]
+                out_q.extend([qid] * len(order))
+                out_v.extend(ids[order].tolist())
+                out_c.extend(col[order].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "cos": pa.array(out_c, pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    partials = ds.map_batches(IvfScore, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", "vec_id"],
+                             ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas").to_pandas() \
+        .sort_values(["query_id", "cos", "vec_id"],
+                     ascending=[True, False, True]).reset_index(drop=True)
