@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_high_discount": _rel.filter_high_discount,
         "events_hourly": _rel.events_hourly,
         "events_sessionize": _rel.events_sessionize,
+        "events_sliding_window": _rel.events_sliding_window,
         "segment_counts": _rel.segment_counts,
         "events_orders_asof": _rel.events_orders_asof,
         "customers_semi_join": _rel.customers_with_f_orders,
@@ -177,6 +178,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(24,6))) AS DOUBLE), 2) AS sum_value
             FROM sess
             GROUP BY user_id, session_id
+        """,
+        "events_sliding_window": """
+            WITH bounds AS (
+                SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+                FROM events
+            ), windows AS (
+                SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                              (SELECT hi FROM bounds),
+                                              INTERVAL 15 MINUTE)) AS w_start
+            )
+            SELECT event_type, w_start, COUNT(*) AS n_events,
+                   ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(24,6))) AS DOUBLE), 2) AS sum_value
+            FROM windows JOIN events
+              ON ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
+            GROUP BY event_type, w_start
         """,
         "segment_counts": """
             SELECT c_mktsegment, COUNT(*) AS n_customers

@@ -59,7 +59,7 @@ def test_all_queries_run(entrymod):
 @pytest.mark.parametrize("name", [
     "q1_pricing_summary", "revenue_by_nation", "lineitem_orders_join",
     "top_orders", "filter_high_discount", "events_hourly",
-    "events_sessionize", "segment_counts", "dedup_exact", "token_count",
+    "events_sessionize", "events_sliding_window", "segment_counts", "dedup_exact", "token_count",
     "doc_stats", "quality_score", "ann_cosine_topk", "embedding_neardups",
     "events_orders_asof", "customers_semi_join", "customers_anti_join",
     "union_all_keys",

@@ -369,3 +369,52 @@ def union_all_keys(sf_dir: str) -> pd.DataFrame:
 
     return c.map_batches(tag_c, batch_format="pyarrow").union(
         s.map_batches(tag_s, batch_format="pyarrow")).to_pandas()
+
+
+# ------------------------------------------------------ sliding windows
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding 60-min windows every 15 min per event_type.
+
+    No window/range-join primitive exists in Ray Data; each event is
+    exploded to its ≤4 covering windows with vectorized int64 timestamp
+    arithmetic inside ``map_batches`` (window starts anchored at the
+    hour-truncated global min ts, matching the generate_series oracle),
+    then partial-aggregated and reduced by ``groupby``."""
+    import pyarrow.parquet as pq
+    WINDOW_US = 60 * 60 * 1_000_000
+    SLIDE_US = 15 * 60 * 1_000_000
+
+    ts_col = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+    lo_us = pc.min(ts_col).cast(pa.int64()).as_py()
+    lo_us -= lo_us % (60 * 60 * 1_000_000)      # date_trunc('hour', min ts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ts_us = df["ts"].astype("int64").to_numpy()
+        val_c = scaled_int(df["value"], 6)
+        etype = df["event_type"].to_numpy()
+        base = lo_us + ((ts_us - lo_us) // SLIDE_US) * SLIDE_US
+        frames = []
+        for k in range(WINDOW_US // SLIDE_US):
+            ws = base - k * SLIDE_US
+            keep = (ws >= lo_us) & (ts_us < ws + WINDOW_US) & (ts_us >= ws)
+            frames.append(pd.DataFrame({
+                "event_type": etype[keep],
+                "w_start": ws[keep],
+                "n_events": 1,
+                "val_c": val_c[keep]}))
+        out = pd.concat(frames, ignore_index=True)
+        g = out.groupby(["event_type", "w_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), val_c=("val_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["event_type", "w_start"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("val_c", alias_name="val_c")).to_pandas()
+    out["sum_value"] = round_half_up(out["val_c"] / 1e6, 2)
+    out["w_start"] = pd.to_datetime(out["w_start"], unit="us")
+    return out[["event_type", "w_start", "n_events", "sum_value"]]
