@@ -59,3 +59,17 @@ def test_uncommitted_partials_cleaned(ray_session, sharded_input, tmp_path):
     run_checkpointed(sharded_input, out)
     assert not os.path.isdir(stray)
     assert len(committed_partitions(out)) == 4
+
+
+def test_changed_input_plan_refused(ray_session, sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    run_checkpointed(sharded_input, out, stop_after=1)
+    # same files, different grouping → refused
+    with pytest.raises(ValueError, match="different input plan"):
+        run_checkpointed(sharded_input, out, files_per_partition=2)
+    # different file set → refused
+    with pytest.raises(ValueError, match="different input plan"):
+        run_checkpointed(sharded_input[:-1], out)
+    # identical plan → resumes fine
+    done = run_checkpointed(sharded_input, out)
+    assert len(committed_partitions(out)) == 4

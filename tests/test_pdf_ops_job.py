@@ -100,8 +100,9 @@ def test_job_cli(ray_session, tiny_corpus, tmp_path):
                       records_on_page=1)
     assert len(st) == 1
     assert st.iloc[0]["row_count"] >= half
-    # rerun → no-op
-    rc2 = main(["--input", str(tmp_path), "--output", out_dir])
+    # rerun with the same plan → no-op
+    rc2 = main(["--input", str(tmp_path), "--output", out_dir,
+                "--files-per-partition", "1"])
     assert rc2 == 0
     # bad input glob
     assert main(["--input", str(tmp_path / "nope*.parquet"),

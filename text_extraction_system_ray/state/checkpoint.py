@@ -58,7 +58,8 @@ def committed_partitions(out_dir: str) -> set:
     mdir = os.path.join(out_dir, "_manifest")
     if not os.path.isdir(mdir):
         return set()
-    return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
+    return {f[:-5] for f in os.listdir(mdir)
+            if f.endswith(".json") and not f.startswith("_")}
 
 
 def _cleanup_uncommitted(out_dir: str, committed: set) -> None:
@@ -88,6 +89,7 @@ def run_checkpointed(
     cfg = cfg or DEFAULT_CONFIG
     pipeline = pipeline or (lambda ds, c: extract_dataset(ds, c))
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    _check_plan(out_dir, input_files, files_per_partition)
     committed = committed_partitions(out_dir)
     _cleanup_uncommitted(out_dir, committed)
     done: List[str] = []
@@ -127,6 +129,30 @@ def run_checkpointed(
     return done
 
 
+def _check_plan(out_dir: str, input_files: Sequence[str],
+                files_per_partition: int) -> None:
+    """Bind the output directory to ONE input plan. Partition ids are
+    positional, so resuming against a different input set or grouping
+    would silently skip the wrong work — refuse instead (the analog of
+    the reference's request-id scoping: one request dir per input,
+    ``request_metadata.py:113-125``)."""
+    plan = {"input_files": sorted(str(f) for f in input_files),
+            "files_per_partition": files_per_partition}
+    path = os.path.join(out_dir, "_manifest", "_plan.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != plan:
+            raise ValueError(
+                f"output dir {out_dir} was created for a different input "
+                "plan (files or files_per_partition changed); use a fresh "
+                "output dir or delete the old one")
+        return
+    with open(path + ".tmp", "w") as f:
+        json.dump(plan, f)
+    os.rename(path + ".tmp", path)
+
+
 def _count_rows(parquet_dir: str) -> int:
     import pyarrow.parquet as pq
     return sum(pq.ParquetFile(os.path.join(parquet_dir, f)).metadata.num_rows
@@ -151,7 +177,7 @@ def job_metrics(out_dir: str) -> dict:
     if not os.path.isdir(mdir):
         return total
     for f in sorted(os.listdir(mdir)):
-        if not f.endswith(".json"):
+        if not f.endswith(".json") or f.startswith("_"):
             continue
         with open(os.path.join(mdir, f)) as fh:
             m = json.load(fh)
@@ -175,7 +201,7 @@ def query_status(out_dir: str, sort_column: str = "partition_id",
     rows = []
     if os.path.isdir(mdir):
         for f in sorted(os.listdir(mdir)):
-            if f.endswith(".json"):
+            if f.endswith(".json") and not f.startswith("_"):
                 with open(os.path.join(mdir, f)) as fh:
                     rows.append(json.load(fh))
     df = pd.DataFrame(rows)
