@@ -335,6 +335,8 @@ _ATTR_QUICK = ("class", "id", "role")
 
 # raw-text elements: content until the matching close tag, never parsed
 _RAWTEXT = frozenset({"script", "style", "textarea", "title"})
+_RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE)
+                  for t in _RAWTEXT}
 
 
 def _fast_feed(p: "_BlockParser", text: str) -> None:
@@ -372,8 +374,7 @@ def _fast_feed(p: "_BlockParser", text: str) -> None:
             selfclose = attrs_raw.rstrip().endswith("/")
             if tag in _RAWTEXT and not selfclose:
                 # consume raw content up to the close tag in one step
-                close = re.compile(rf"</\s*{tag}\s*>", re.IGNORECASE)
-                cm = close.search(text, pos)
+                cm = _RAWTEXT_CLOSE[tag].search(text, pos)
                 p.handle_starttag(tag, attrs)
                 raw = text[pos:cm.start()] if cm else text[pos:]
                 if raw:
