@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": _rel.q1_pricing_summary,
         "revenue_by_nation": _rel.revenue_by_nation,
         "lineitem_orders_join": _rel.lineitem_orders_join,
+        "lineitem_orders_join_native": _rel.lineitem_orders_join_native,
         "top_orders": _rel.top_orders,
         "filter_high_discount": _rel.filter_high_discount,
         "events_hourly": _rel.events_hourly,
@@ -103,6 +104,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # ------------------------------------------------------------- oracle SQL
 _STOP_SQL = "'the','a','of','and','to','in','is','for','on','with'"
+
+# exact word-3-gram Jaccard over documents — the ground truth the MinHash
+# family is graded against (tokenization mirrors Python str.split():
+# whitespace runs, empties dropped; <3-token docs form one gram)
+_JACCARD_PAIRS_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                           i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               END AS grams
+        FROM tok
+    ), gr AS (
+        SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT {select}
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
+"""
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -226,11 +260,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
         """,
+        "lineitem_orders_join_native": """
+            SELECT o_orderpriority,
+                   ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                                       AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue,
+                   COUNT(*)                                              AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
+        # exact word-3-gram Jaccard ground truth; the engine's LSH has
+        # effectively-1.0 recall at these separations (every true pair in
+        # the corpus sits at j >= 0.9; P[miss] = (1-0.9^4)^16 ~ 4e-8), so
+        # candidates == verified pairs == the exact SQL answer.
+        "dedup_minhash_candidates": _JACCARD_PAIRS_SQL.format(
+            select="doc_a, doc_b", threshold=0.6),
+        "dedup_minhash_neardups": _JACCARD_PAIRS_SQL.format(
+            select="doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard",
+            threshold=0.6),
+        "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL.format(
+            select="doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard",
+            threshold=0.5),
         "token_count": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -61,6 +61,37 @@ def test_uncommitted_partials_cleaned(ray_session, sharded_input, tmp_path):
     assert len(committed_partitions(out)) == 4
 
 
+def test_read_output_before_first_commit(ray_session, sharded_input, tmp_path):
+    """Reading an out_dir with zero committed partitions (status probe
+    right after a crash) returns an empty dataset, not an exception."""
+    out = str(tmp_path / "out")
+    run_checkpointed(sharded_input, out, stop_after=0)
+    ds = read_output(out)
+    assert ds.count() == 0
+    assert "url" in ds.schema().names and "text" in ds.schema().names
+
+
+def test_overlapped_partitions_match_serial(ray_session, sharded_input, tmp_path):
+    """max_concurrent>1 overlaps partition pipelines; commits stay atomic
+    and per-partition, output identical to the serial run."""
+    out_serial = str(tmp_path / "out_serial")
+    out_conc = str(tmp_path / "out_conc")
+    run_checkpointed(sharded_input, out_serial)
+    done = run_checkpointed(sharded_input, out_conc, max_concurrent=4)
+    assert len(done) == 4
+    assert len(committed_partitions(out_conc)) == 4
+    a = {r["url"]: r["text"] for r in read_output(out_serial).take_all()}
+    b = {r["url"]: r["text"] for r in read_output(out_conc).take_all()}
+    assert a == b
+    # resume after overlap-crash: drop one manifest, re-run concurrently
+    victim = sorted(committed_partitions(out_conc))[1]
+    os.remove(os.path.join(out_conc, "_manifest", f"{victim}.json"))
+    redone = run_checkpointed(sharded_input, out_conc, max_concurrent=4)
+    assert redone == [victim]
+    b2 = {r["url"]: r["text"] for r in read_output(out_conc).take_all()}
+    assert a == b2
+
+
 def test_changed_input_plan_refused(ray_session, sharded_input, tmp_path):
     out = str(tmp_path / "out")
     run_checkpointed(sharded_input, out, stop_after=1)

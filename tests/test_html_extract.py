@@ -114,3 +114,40 @@ def test_fast_engine_matches_stdlib_on_corpus():
         assert fast[1] == std[1], url
         n_checked += 1
     assert n_checked > 40
+
+
+def test_unterminated_attr_heavy_tag_is_linear_and_matches_stdlib():
+    """ReDoS regression (ADVICE r01): an unterminated tag stuffed with
+    stray quotes must tokenize in linear time (the old backtracking attrs
+    regex was exponential — hours at ~50 quotes) and agree with stdlib."""
+    import time
+
+    bad = "<p>before</p><div " + '" ' * 3000 + "x"
+    t0 = time.monotonic()
+    fast = parse_html_blocks(bad, CFG, engine="fast")
+    elapsed = time.monotonic() - t0
+    assert elapsed < 1.0, f"ReDoS: {elapsed:.2f}s for 3000 stray quotes"
+    std = parse_html_blocks(bad, CFG, engine="stdlib")
+    assert [(b.text, b.kind) for b in fast[0]] == \
+           [(b.text, b.kind) for b in std[0]]
+
+
+def test_truncated_tag_recovery_matches_stdlib():
+    """Truncated/malformed start tags: the fast tokenizer mirrors
+    html.parser's EOF recovery (emit up to next '>' or '<' as data) and
+    its value-position quote rule (quotes open a section only after '=';
+    an unterminated value quote makes the tag incomplete)."""
+    cases = [
+        '<p>a</p><a href="x>y" ',       # unterminated after quoted value
+        '<p>a</p><a href="x>after',     # unterminated value quote w/ '>' inside
+        '<p>a</p><div foo',             # unterminated bare tag
+        '<a href=foo" bar>baz</a>',     # stray quote in bare value
+        '<a foo"x>y">z',                # stray quote in attr-name position
+        '<p>x</p><a href = "u">link</a>',  # spaces around '='
+        "<p>a<span data-x='v>w'>b</span></p>",  # '>' inside quoted value
+    ]
+    for c in cases:
+        fast = parse_html_blocks(c, CFG, engine="fast")
+        std = parse_html_blocks(c, CFG, engine="stdlib")
+        assert [(b.text, b.kind) for b in fast[0]] == \
+               [(b.text, b.kind) for b in std[0]], c

@@ -93,7 +93,9 @@ def test_ann_lsh_recall(ray_session):
         e = set(exact[exact["query_id"] == qid]["vec_id"])
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         recalls.append(len(e & a) / len(e))
-    assert sum(recalls) / len(recalls) >= 0.5   # bucketed scan, 1-bit probes
+    # OR-construction multi-table LSH with Hamming-2 probing; this corpus's
+    # neighbors sit at cos ~0.4-0.5 (the hard regime), so >=0.9 is a real bar
+    assert sum(recalls) / len(recalls) >= 0.9
 
 
 def test_fake_image_roundtrip():
@@ -128,4 +130,4 @@ def test_ann_ivf_recall(ray_session):
     # self vector is always in a probed list
     assert all(qid in set(approx[approx["query_id"] == qid]["vec_id"])
                for qid in exact["query_id"].unique())
-    assert sum(recalls) / len(recalls) >= 0.3
+    assert sum(recalls) / len(recalls) >= 0.8

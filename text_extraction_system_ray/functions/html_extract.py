@@ -315,17 +315,56 @@ class _BlockParser(HTMLParser):
 # and the e2e byte-identity contract binds to whichever engine cfg selects
 # (both oracle and pipeline share this module).
 
+# Possessive quantifiers (3.11+) keep every branch linear-time; the
+# start-tag branch matches only the NAME — the attrs region is scanned by
+# the quote-aware linear loop in _scan_tag_end (a backtracking attrs
+# regex here is exponential on unterminated attr-heavy tags: ReDoS).
 _FAST_TAG_RE = re.compile(
     r"<(?:"
     r"!--.*?(?:-->|$)"                                   # comment
     r"|!\[CDATA\[.*?(?:\]\]>|$)"                         # cdata
-    r"|![^>]*>"                                          # doctype/decl
-    r"|\?[^>]*>"                                         # processing instr
-    r"|(?P<end>/)\s*(?P<endname>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*>"
-    r"|(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)"
-    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*)>"
+    r"|![^>]*+>"                                         # doctype/decl
+    r"|\?[^>]*+>"                                        # processing instr
+    r"|(?P<end>/)\s*+(?P<endname>[a-zA-Z][a-zA-Z0-9:_.-]*+)[^>]*+>"
+    r"|(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*+)"
     r")",
     re.DOTALL)
+
+# run of chars inside a start tag that need no special handling
+_ATTRS_PLAIN_RE = re.compile(r"[^>\"']*")
+
+
+def _scan_tag_end(text: str, pos: int) -> int:
+    """Linear quote-aware scan for the ``>`` closing a start tag.
+
+    Returns the index of the closing ``>``, or -1 when the tag never
+    closes (truncated input). Mirrors html.parser's
+    ``locatestarttagend_tolerant``: a quote opens a quoted attribute
+    value only in *value position* (after ``=``, spaces allowed) and may
+    then contain ``>``; an unterminated value quote makes the whole tag
+    incomplete; quotes anywhere else are ordinary characters. Runs in
+    O(n) with no backtracking (the ReDoS fix; see ADVICE r01)."""
+    n = len(text)
+    i = pos
+    while i < n:
+        i = _ATTRS_PLAIN_RE.match(text, i).end()
+        if i >= n:
+            return -1
+        c = text[i]
+        if c == ">":
+            return i
+        # c is ' or ": quoted value iff the last non-space char was '='
+        k = i - 1
+        while k >= pos and text[k] in " \t\n\r\f":
+            k -= 1
+        if k >= pos and text[k] == "=":
+            j = text.find(c, i + 1)
+            if j < 0:
+                return -1                # unterminated value → truncated tag
+            i = j + 1
+        else:
+            i += 1                       # stray quote: plain char
+    return -1
 
 _ATTR_RE = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*"
@@ -363,8 +402,24 @@ def _fast_feed(p: "_BlockParser", text: str) -> None:
         pos = m.end()
         name = m.group("name")
         if name is not None:
+            gt = _scan_tag_end(text, pos)
+            if gt < 0:
+                # truncated start tag at EOF — stdlib recovery
+                # (html.parser goahead: emit up to next '>' or '<' or
+                # just the '<' as data, continue after it)
+                k = text.find(">", lt + 1)
+                if k < 0:
+                    k = text.find("<", lt + 1)
+                    k = k if k >= 0 else n
+                else:
+                    k += 1
+                data = text[lt:k]
+                p.handle_data(unescape(data) if "&" in data else data)
+                pos = k
+                continue
             tag = name.lower()
-            attrs_raw = m.group("attrs") or ""
+            attrs_raw = text[pos:gt]
+            pos = gt + 1
             attrs = []
             if attrs_raw and any(k in attrs_raw for k in _ATTR_QUICK):
                 for am in _ATTR_RE.finditer(attrs_raw):

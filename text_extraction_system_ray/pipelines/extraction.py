@@ -11,6 +11,7 @@ mirroring the reference's split/chord equivalence (``tasks.py:259-293``).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import ray.data
@@ -73,7 +74,8 @@ def extract_dataset_exploded(ds: ray.data.Dataset,
         concurrency=_pool(concurrency or cfg.extract_concurrency),
         num_cpus=1,
     )
-    return ds.groupby("url").map_groups(merge_group, batch_format="pyarrow")
+    return ds.groupby("url").map_groups(
+        functools.partial(merge_group, cfg=cfg), batch_format="pyarrow")
 
 
 def extract_document(payload: bytes, url: str = "doc",

@@ -80,15 +80,23 @@ def _row_to_dict(tbl: pa.Table, i: int) -> dict:
     return d
 
 
-def merge_group(group: pa.Table) -> pa.Table:
+def merge_group(group: pa.Table,
+                cfg: Optional[PipelineConfig] = None) -> pa.Table:
     """map_groups fan-in: one merged row per url (ref chord body analog,
     ``tasks.py:365-437``). Groups arrive hash-partitioned by url; order
     within the group is restored by chunk_id sort, like the reference's
-    zero-padded page-name parse (``tasks.py:404-412``)."""
+    zero-padded page-name parse (``tasks.py:404-412``).
+
+    ``cfg.doc_language`` takes precedence over the row's lang hint, the
+    same forced-language rule the in-actor split path and the scalar
+    oracle apply (extract_stage.py / extract.py; ref:
+    request_metadata.py:55) — keeping pipeline == oracle when a document
+    language is forced."""
+    cfg = cfg or DEFAULT_CONFIG
     order = np.argsort(group.column("chunk_id").to_numpy(), kind="stable")
     rows = [_row_to_dict(group, int(i)) for i in order]
     hint = ""
     if "lang_hint" in group.column_names and len(group):
         hint = (group.column("lang_hint")[0].as_py() or "").strip().lower()[:2]
-    merged = merge_extracted_rows(rows, hint)
+    merged = merge_extracted_rows(rows, cfg.doc_language or hint)
     return results_to_table([merged])

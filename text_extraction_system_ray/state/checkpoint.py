@@ -80,11 +80,19 @@ def run_checkpointed(
     pipeline: Callable[[ray.data.Dataset, PipelineConfig], ray.data.Dataset] = None,
     files_per_partition: int = 1,
     stop_after: Optional[int] = None,
+    max_concurrent: int = 1,
 ) -> List[str]:
     """Run ``pipeline`` over each uncommitted partition; commit atomically.
 
     Returns the pids processed in this invocation. ``stop_after`` is a test
     hook simulating a mid-job crash after N partitions.
+
+    ``max_concurrent`` > 1 overlaps that many partition pipelines (each
+    driven from its own driver thread — Ray Data executes concurrent
+    Datasets independently). Commits stay per-partition and atomic, so
+    kill/resume semantics are unchanged; overlap recovers the
+    cross-partition pipelining a serial loop loses when partitions are
+    small (many tiny shards at 100-TB scale).
     """
     cfg = cfg or DEFAULT_CONFIG
     pipeline = pipeline or (lambda ds, c: extract_dataset(ds, c))
@@ -92,12 +100,8 @@ def run_checkpointed(
     _check_plan(out_dir, input_files, files_per_partition)
     committed = committed_partitions(out_dir)
     _cleanup_uncommitted(out_dir, committed)
-    done: List[str] = []
-    for part in plan_partitions(input_files, files_per_partition):
-        if part.pid in committed:
-            continue
-        if stop_after is not None and len(done) >= stop_after:
-            break
+
+    def _run_one(part: Partition) -> str:
         t0 = time.monotonic()
         bytes_in = sum(os.path.getsize(f) for f in part.files)
         ds = ray.data.read_parquet(part.files)
@@ -125,8 +129,51 @@ def run_checkpointed(
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.rename(mpath + ".tmp", mpath)
-        done.append(part.pid)
-    return done
+        return part.pid
+
+    todo = [p for p in plan_partitions(input_files, files_per_partition)
+            if p.pid not in committed]
+    if stop_after is not None:
+        todo = todo[:stop_after]
+    if max_concurrent > 1 and ray.is_initialized():
+        # every concurrent pipeline needs its minimum actor placed AND at
+        # least one free CPU cluster-wide for read/write tasks to make
+        # progress — N pipelines on N CPUs deadlocks (min-actors hold
+        # every CPU, read tasks starve). Clamp to CPUs - 1.
+        cpus = int(ray.cluster_resources().get("CPU", 2))
+        max_concurrent = max(1, min(max_concurrent, cpus - 1))
+    if max_concurrent <= 1 or len(todo) <= 1:
+        return [_run_one(p) for p in todo]
+    _ensure_fsspec_http_importable()
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+        return list(ex.map(_run_one, todo))
+
+
+def _ensure_fsspec_http_importable() -> None:
+    """Ray Data path resolution does ``from fsspec.implementations.http
+    import HTTPFileSystem`` on every read/write. In environments without
+    aiohttp that import fails — harmlessly when serial (Ray catches it),
+    but under concurrent driver threads the failed-module cleanup races
+    on sys.modules and surfaces as a spurious ImportError mid-job.
+    Register a benign stub once so the import is deterministic; the stub
+    is only ever an isinstance target, never instantiated for local
+    parquet paths."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # pragma: no cover — isinstance target only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
 
 
 def _check_plan(out_dir: str, input_files: Sequence[str],
@@ -160,12 +207,19 @@ def _count_rows(parquet_dir: str) -> int:
 
 
 def read_output(out_dir: str) -> ray.data.Dataset:
-    """Read all committed partitions as one Dataset."""
+    """Read all committed partitions as one Dataset.
+
+    Zero committed partitions (e.g. status probe right after a crash
+    before the first commit) yields an empty EXTRACTED_SCHEMA dataset
+    rather than the ``read_parquet([])`` ValueError."""
     files = []
     for pid in sorted(committed_partitions(out_dir)):
         pdir = os.path.join(out_dir, f"part-{pid}")
         files.extend(os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
                      if f.endswith(".parquet"))
+    if not files:
+        from ..schema import EXTRACTED_SCHEMA
+        return ray.data.from_arrow(EXTRACTED_SCHEMA.empty_table())
     return ray.data.read_parquet(files)
 
 
