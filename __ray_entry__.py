@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray.data
 
 from text_extraction_system_ray.pipelines import ann as _ann
+from text_extraction_system_ray.pipelines import fontcheck as _fontcheck
 from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
@@ -97,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardups": _ann.embedding_neardup_pairs,  # SQL-checked
         # multimodal plumbing (stubbed decode kernel, real dataflow)
         "image_metadata": _mm.image_metadata,
+        # real-font PDF decode round-trip (Widths/ToUnicode/filters;
+        # oracle = the SOURCE text, so the decode path is SQL-checked)
+        "realfont_roundtrip": _fontcheck.realfont_roundtrip,
         # flagship extraction (non-SQL: DOM/PDF parse + segmentation)
         "extract_pages": _extract_summary,
     }
@@ -325,6 +329,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        "realfont_roundtrip": """
+            -- engine writes each doc's normalized text into a
+            -- Type0/ToUnicode/Widths PDF and extracts it back; the page
+            -- assembly appends '\\n\\f' (rule P4)
+            SELECT doc_id,
+                   regexp_replace(trim(text), '\\s+', ' ', 'g')
+                       || chr(10) || chr(12) AS text_out
+            FROM documents
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -5,10 +5,17 @@ The reference shells a Java PDFBox driver per document
 to get ``PDFPlainText`` = index-aligned ``(text, charBBoxes, pages)``.
 This module reimplements that *data contract* from scratch over raw PDF
 bytes: object scan → page tree walk → content-stream tokenizer → text
-ops (BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/TJ/'/") with a fixed monospace
-advance model (``pdf_build.GLYPH_W``; real font-metric tables are out of
-scope — the golden corpus is generated by :mod:`pdf_build` with the same
-metric, which is what pins byte-identity).
+ops (BT/ET, Tf, Td/TD/Tm/T*/TL, Tj/TJ/'/").
+
+Font handling (round 2): per-page ``/Resources /Font`` tables are
+parsed into :class:`PdfFont` — ``/FirstChar``+``/Widths`` advance
+tables (CIDFont ``/W``/``/DW`` for Type0/Identity-H), ``/FontDescriptor
+/MissingWidth``, and ``/ToUnicode`` CMaps (bfchar/bfrange) for the
+code→text mapping; stream filters cover Flate, ASCIIHex, ASCII85, LZW
+and RunLength, with image codecs (DCT/JPX/CCITT) recognized and
+skipped. Fonts carrying no metric/text tables fall back to the fixed
+monospace advance (``pdf_build.GLYPH_W``) that pins the synthetic
+corpus goldens.
 
 Frozen rules (the §2.8 analog, PDF side):
   P1. Coordinates rounded HALF_UP (away from zero) to 2 decimals
@@ -39,6 +46,152 @@ _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+# ---- stream filters ----------------------------------------------------
+# The reference delegates to PDFBox's filter zoo; here the standard PDF
+# filters are implemented directly (spec: PDF 32000-1 §7.4). DCTDecode /
+# JPXDecode are image codecs — content streams never use them, so they
+# decode to b"" and only matter for the has_image flag.
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    data = data.split(b">")[0]
+    hexs = re.sub(rb"\s", b"", data)
+    if len(hexs) % 2:
+        hexs += b"0"
+    try:
+        return bytes.fromhex(hexs.decode("ascii"))
+    except ValueError as e:
+        raise ExtractError(f"pdf: bad ASCIIHex stream: {e}")
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+    data = data.strip()
+    if data.startswith(b"<~"):
+        data = data[2:]
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    try:
+        return base64.a85decode(re.sub(rb"\s", b"", data))
+    except ValueError as e:
+        raise ExtractError(f"pdf: bad ASCII85 stream: {e}")
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """LZW as used by PDF (TIFF-style, MSB-first, codes 256=clear,
+    257=EOD, 9→12-bit growing; spec §7.4.4)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits = 9
+    buf = 0
+    nbits = 0
+    prev: Optional[bytes] = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (buf >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                bits = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << bits) - 1 and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i + 1:i + 2 + l]
+            i += 2 + l
+        else:
+            out += data[i + 1:i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+_FILTERS = {
+    b"FlateDecode": None,          # special-cased (zlib)
+    b"Fl": None,
+    b"ASCIIHexDecode": _ascii_hex_decode,
+    b"AHx": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"LZWDecode": _lzw_decode,
+    b"LZW": _lzw_decode,
+    b"RunLengthDecode": _run_length_decode,
+    b"RL": _run_length_decode,
+}
+_IMAGE_FILTERS = {b"DCTDecode", b"DCT", b"JPXDecode", b"CCITTFaxDecode",
+                  b"CCF", b"JBIG2Decode"}
+
+
+def _stream_data(body: bytes) -> Optional[bytes]:
+    """Raw stream bytes of an object body. Prefers the declared
+    ``/Length`` (binary data may legally end in CR/LF bytes that a
+    regex-to-``endstream`` scan would strip); falls back to the lazy
+    scan when /Length is absent or indirect."""
+    m = re.search(rb"stream\r?\n", body)
+    if not m:
+        return None
+    start = m.end()
+    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body[:m.start()])
+    if lm:
+        ln = int(lm.group(1))
+        data = body[start:start + ln]
+        if len(data) == ln and body.find(b"endstream", start + ln) >= 0:
+            return data
+    sm = _STREAM_RE.search(body)
+    return sm.group(1) if sm else None
+
+
+def _decode_stream(dict_part: bytes, data: bytes) -> bytes:
+    """Apply the /Filter chain (name or array, applied in order)."""
+    fm = _FILTER_RE.search(dict_part)
+    if not fm:
+        return data
+    if fm.group(1) is not None:
+        names = [m.group(1) for m in _NAME_RE.finditer(fm.group(1))]
+    else:
+        names = [fm.group(2)]
+    for name in names:
+        if name in _IMAGE_FILTERS:
+            return b""                       # image codec: no text inside
+        if name in (b"FlateDecode", b"Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise ExtractError(f"pdf: bad flate stream: {e}")
+        elif name in _FILTERS:
+            data = _FILTERS[name](data)
+        else:
+            raise ExtractError(
+                f"pdf: unsupported filter {name.decode('latin-1')}")
+    return data
 
 
 def _round_half_up(v: float) -> float:
@@ -52,6 +205,39 @@ def _round_half_up(v: float) -> float:
     else:
         r = -int(-scaled + 0.5 + 1e-9)
     return r / 100.0
+
+
+@dataclass
+class PdfFont:
+    """Per-font decode + metric state (ref analog: PDFBox's PDFont —
+    glyph widths consumed at ``PDFToTextWithCoordinates.java:181-204``,
+    ToUnicode text mapping inside ``PDType0Font.toUnicode``).
+
+    ``widths`` maps char code → advance in glyph space (/1000 units);
+    codes absent fall back to ``missing`` (FontDescriptor /MissingWidth,
+    or /DW for CIDFonts). ``to_unicode`` maps code → text. Fonts with
+    no /Widths at all keep the legacy fixed monospace advance
+    (``pdf_build.GLYPH_W``) so the synthetic corpus stays byte-identical.
+    """
+    name: str = ""
+    widths: Dict[int, float] = field(default_factory=dict)
+    missing: Optional[float] = None
+    to_unicode: Dict[int, str] = field(default_factory=dict)
+    two_byte: bool = False          # Type0 / Identity-H: 2-byte codes
+
+    def advance(self, code: int, fs: float) -> float:
+        w = self.widths.get(code, self.missing)
+        if w is None:
+            return GLYPH_W * fs
+        return w / 1000.0 * fs
+
+    def text(self, code: int) -> str:
+        t = self.to_unicode.get(code)
+        if t is not None:
+            return t
+        if self.two_byte:
+            return ""               # unmapped CID: no reliable text
+        return chr(code)            # 1-byte: latin-1 identity fallback
 
 
 @dataclass
@@ -88,6 +274,81 @@ class _PageObj:
     rotate: int
     content_objs: List[int]
     has_image: bool
+    fonts: Dict[str, PdfFont] = field(default_factory=dict)
+
+
+def _balanced_dict(data: bytes, start: int) -> Optional[bytes]:
+    """Return the bytes of the ``<< ... >>`` dict starting at ``start``
+    (which must point at ``<<``), handling nesting."""
+    if data[start:start + 2] != b"<<":
+        return None
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n - 1:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return None
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEX_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[([^\]]*)\])")
+
+
+def _utf16be_text(hexs: bytes) -> str:
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    if len(raw) % 2:
+        raw = raw + b"\x00"
+    try:
+        return raw.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return ""
+
+
+def parse_tounicode(cmap: bytes) -> Dict[int, str]:
+    """/ToUnicode CMap → {char code: text}. Supports beginbfchar pairs
+    and beginbfrange with scalar-destination increments or explicit
+    destination arrays (spec §9.10.3; ref consumes PDFBox's equivalent).
+    """
+    out: Dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(cmap):
+        for pm in _HEX_PAIR_RE.finditer(m.group(1)):
+            out[int(pm.group(1), 16)] = _utf16be_text(pm.group(2))
+    for m in _BFRANGE_RE.finditer(cmap):
+        for rm in _HEX_RANGE_RE.finditer(m.group(1)):
+            lo = int(rm.group(1), 16)
+            hi = int(rm.group(2), 16)
+            if hi - lo > 65535:
+                continue
+            if rm.group(3) is not None:
+                base_hex = rm.group(3)
+                base_raw = bytes.fromhex(base_hex.decode("ascii"))
+                base = int.from_bytes(base_raw, "big")
+                width = len(base_raw)
+                for c in range(lo, hi + 1):
+                    val = (base + (c - lo)).to_bytes(max(width, 2), "big")
+                    try:
+                        out[c] = val.decode("utf-16-be")
+                    except UnicodeDecodeError:
+                        pass
+            else:
+                dsts = _HEX_RE.findall(rm.group(4))
+                for c, d in zip(range(lo, hi + 1), dsts):
+                    out[c] = _utf16be_text(d)
+    return out
 
 
 class _PdfDoc:
@@ -154,8 +415,139 @@ class _PdfDoc:
                 else:
                     contents = [int(cm.group(2))]
             has_image = self._page_has_image(d)
-            out.append(_PageObj(num, d, media, rot, contents, has_image))
+            fonts = self._page_fonts(d)
+            out.append(_PageObj(num, d, media, rot, contents, has_image,
+                                fonts))
         return out
+
+    # -- fonts ---------------------------------------------------------
+    def _resolve_dict(self, data: bytes, key: bytes) -> Optional[bytes]:
+        """``/Key << ... >>`` inline or ``/Key N 0 R`` indirect → dict
+        bytes (of the referenced object's dict part)."""
+        m = re.search(key + rb"\s*(?:(\d+)\s+\d+\s+R|(<<))", data)
+        if not m:
+            return None
+        if m.group(1) is not None:
+            body = self.objs.get(int(m.group(1)))
+            return self._dict_part(body) if body is not None else None
+        return _balanced_dict(data, m.start(2))
+
+    def _stream_of(self, num: int) -> Optional[bytes]:
+        body = self.objs.get(num)
+        if body is None:
+            return None
+        data = _stream_data(body)
+        if data is None:
+            return None
+        return _decode_stream(self._dict_part(body), data)
+
+    def _page_fonts(self, page_dict: bytes) -> Dict[str, PdfFont]:
+        res = self._resolve_dict(page_dict, rb"/Resources")
+        if res is None:
+            return {}
+        fdict = self._resolve_dict(res, rb"/Font")
+        if fdict is None:
+            return {}
+        fonts: Dict[str, PdfFont] = {}
+        for m in re.finditer(rb"/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R",
+                             fdict):
+            name = m.group(1).decode("latin-1")
+            if name == "Font":
+                continue
+            body = self.objs.get(int(m.group(2)))
+            if body is not None:
+                try:
+                    fonts[name] = self._parse_font(self._dict_part(body),
+                                                   name)
+                except Exception:
+                    fonts[name] = PdfFont(name=name)
+        return fonts
+
+    def _array_values(self, data: bytes, key: bytes) -> Optional[bytes]:
+        """``/Key [...]`` inline or ``/Key N 0 R`` to an array object."""
+        m = re.search(key + rb"\s*(?:\[([^\]]*)\]|(\d+)\s+\d+\s+R)", data,
+                      re.DOTALL)
+        if not m:
+            return None
+        if m.group(1) is not None:
+            return m.group(1)
+        body = self.objs.get(int(m.group(2)))
+        if body is None:
+            return None
+        am = re.search(rb"\[(.*)\]", body, re.DOTALL)
+        return am.group(1) if am else None
+
+    def _parse_font(self, fd: bytes, name: str) -> PdfFont:
+        """Simple fonts: /FirstChar + /Widths + optional /MissingWidth;
+        composite (Type0/Identity-H): /DescendantFonts → /W + /DW,
+        2-byte codes. /ToUnicode applies to both (ref text path:
+        PDFBox font handling behind ``PDFToTextWithCoordinates.java:181``).
+        """
+        font = PdfFont(name=name)
+        if re.search(rb"/Subtype\s*/Type0\b", fd):
+            font.two_byte = True
+            font.missing = 1000.0           # CIDFont /DW default
+            desc = self._array_values(fd, rb"/DescendantFonts")
+            if desc is not None:
+                rm = _REF_RE.search(desc)
+                if rm is not None:
+                    dbody = self.objs.get(int(rm.group(1)))
+                    if dbody is not None:
+                        dd = self._dict_part(dbody)
+                        dw = re.search(rb"/DW\s+([\d.]+)", dd)
+                        if dw:
+                            font.missing = float(dw.group(1))
+                        warr = self._array_values(dd, rb"/W")
+                        if warr is not None:
+                            self._parse_cid_widths(warr, font)
+        else:
+            fc = re.search(rb"/FirstChar\s+(\d+)", fd)
+            first = int(fc.group(1)) if fc else 0
+            warr = self._array_values(fd, rb"/Widths")
+            if warr is not None:
+                ws = [float(x) for x in _NUM_RE.findall(warr)]
+                font.widths = {first + i: w for i, w in enumerate(ws)}
+                font.missing = 0.0          # per spec: outside range → 0
+            fdesc = self._resolve_dict(fd, rb"/FontDescriptor")
+            if fdesc is not None:
+                mw = re.search(rb"/MissingWidth\s+([\d.]+)", fdesc)
+                if mw:
+                    font.missing = float(mw.group(1))
+        tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fd)
+        if tu:
+            cmap = self._stream_of(int(tu.group(1)))
+            if cmap:
+                font.to_unicode = parse_tounicode(cmap)
+        return font
+
+    def _parse_cid_widths(self, warr: bytes, font: PdfFont) -> None:
+        """CIDFont /W array: ``c [w1 ... wn]`` runs and ``c1 c2 w``
+        ranges (spec §9.7.4.3)."""
+        toks = re.findall(rb"\[|\]|[-+]?\d*\.?\d+", warr)
+        i = 0
+        n = len(toks)
+        while i < n:
+            if toks[i] in (b"[", b"]"):
+                i += 1
+                continue
+            start = int(float(toks[i]))
+            if i + 1 < n and toks[i + 1] == b"[":
+                j = i + 2
+                c = start
+                while j < n and toks[j] != b"]":
+                    font.widths[c] = float(toks[j])
+                    c += 1
+                    j += 1
+                i = j + 1
+            elif i + 2 < n:
+                end = int(float(toks[i + 1]))
+                w = float(toks[i + 2])
+                if 0 <= end - start <= 65535:
+                    for c in range(start, end + 1):
+                        font.widths[c] = w
+                i += 3
+            else:
+                break
 
     def _page_has_image(self, page_dict: bytes) -> bool:
         xo = re.search(rb"/XObject\s*<<(.*?)>>", page_dict, re.DOTALL)
@@ -173,16 +565,10 @@ class _PdfDoc:
             body = self.objs.get(num)
             if body is None:
                 continue
-            sm = _STREAM_RE.search(body)
-            if not sm:
+            data = _stream_data(body)
+            if data is None:
                 continue
-            data = sm.group(1)
-            if b"/FlateDecode" in self._dict_part(body):
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error as e:
-                    raise ExtractError(f"pdf: bad flate stream: {e}")
-            chunks.append(data)
+            chunks.append(_decode_stream(self._dict_part(body), data))
         return b"\n".join(chunks)
 
 
@@ -229,17 +615,20 @@ def _decode_pdf_string(raw: bytes) -> str:
 
 
 class _TextState:
-    __slots__ = ("fs", "x", "y", "lx", "ly", "leading")
+    __slots__ = ("fs", "x", "y", "lx", "ly", "leading", "font")
 
     def __init__(self):
         self.fs = 12.0
         self.x = self.y = self.lx = self.ly = 0.0
         self.leading = 14.4
+        self.font: Optional[PdfFont] = None
 
 
-def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig) -> None:
+def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
+                       fonts: Optional[Dict[str, PdfFont]] = None) -> None:
     """Run the text operators of one page's content stream into ``page``."""
     st = _TextState()
+    fonts = fonts or {}
     stack: List[object] = []
     cur_block: Optional[PdfBlockIR] = None
     cur_line: List[PdfChar] = []
@@ -252,16 +641,45 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig) -> 
         cur_line = []
 
     def emit_string(s: str):
+        """String chars → positioned glyphs. With a bound font the char
+        codes go through its /Widths advance table and /ToUnicode text
+        map (ref: glyph append loop, ``PDFToTextWithCoordinates.java:
+        181-204``); a font with neither table reduces to the legacy
+        fixed-monospace model, keeping the synthetic corpus byte-stable.
+        A code whose /ToUnicode value is multi-char emits one box per
+        output char at the same position (index alignment rule §2.8(7)).
+        """
         nonlocal cur_line
         if cur_block is None:
             return
-        for ch in s:
-            if ch == "\x00" and cfg.remove_nuls:
-                continue
-            w = GLYPH_W * st.fs
-            cur_line.append(PdfChar(ch, (
-                _round_half_up(st.x), _round_half_up(st.y),
-                _round_half_up(w), _round_half_up(st.fs))))
+        font = st.font
+        if font is None or not (font.widths or font.to_unicode
+                                or font.two_byte):
+            # metric-less font (e.g. bare base-14 reference): legacy
+            # fixed-advance path, byte-identical to r01 behavior
+            for ch in s:
+                if ch == "\x00" and cfg.remove_nuls:
+                    continue
+                w = GLYPH_W * st.fs
+                cur_line.append(PdfChar(ch, (
+                    _round_half_up(st.x), _round_half_up(st.y),
+                    _round_half_up(w), _round_half_up(st.fs))))
+                st.x += w
+            return
+        raw = s.encode("latin-1", errors="replace")
+        if font.two_byte:
+            codes = [(raw[i] << 8) | raw[i + 1]
+                     for i in range(0, len(raw) - 1, 2)]
+        else:
+            codes = list(raw)
+        for code in codes:
+            w = font.advance(code, st.fs)
+            box = (_round_half_up(st.x), _round_half_up(st.y),
+                   _round_half_up(w), _round_half_up(st.fs))
+            for ch in font.text(code):
+                if ch == "\x00" and cfg.remove_nuls:
+                    continue
+                cur_line.append(PdfChar(ch, box))
             st.x += w
 
     for m in _TOK_RE.finditer(content):
@@ -299,6 +717,10 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig) -> 
             elif op == "Tf":
                 if stack and isinstance(stack[-1], float):
                     st.fs = stack[-1]
+                for v in reversed(stack[:-1]):
+                    if isinstance(v, str) and v.startswith("/"):
+                        st.font = fonts.get(v[1:])
+                        break
             elif op == "TL":
                 if stack and isinstance(stack[-1], float):
                     st.leading = stack[-1]
@@ -361,7 +783,7 @@ def extract_pdf(payload: bytes, cfg: PipelineConfig) -> List[PdfPageIR]:
     for i, pobj in enumerate(doc.pages, start=1):
         pg = PdfPageIR(number=i, width=pobj.media[0], height=pobj.media[1],
                        rotation=pobj.rotate, has_image=pobj.has_image)
-        parse_content_text(doc.content_bytes(pobj), pg, cfg)
+        parse_content_text(doc.content_bytes(pobj), pg, cfg, pobj.fonts)
         pages.append(pg)
     return pages
 
