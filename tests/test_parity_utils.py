@@ -138,8 +138,64 @@ def test_encode_structure_json_msgpack():
     assert msgpack.unpackb(m, raw=False)["language"] == r["language"]
     # ref invariant analog: json > msgpack for the same structure
     assert len(j) > len(m)
-    with pytest.raises(NotImplementedError):
-        encode_structure(struct, "protobuf")
+    # ref invariant analog: protobuf smaller than msgpack (test_data_
+    # extract.py:165-205 size ordering json > msgpack > protobuf)
+    p = encode_structure(struct, "protobuf")
+    assert 0 < len(p) < len(m)
+
+
+def test_protobuf_structure_roundtrip():
+    """Hand-rolled proto2 wire codec vs the reference contract
+    (contract_pages.proto): every field round-trips through the
+    decoder, and a tiny message matches hand-computed wire bytes."""
+    from text_extraction_system_ray.functions.serialize import (
+        decode_message, decode_packed_floats, decode_string_value,
+        encode_char_bboxes_protobuf, encode_structure_protobuf)
+    struct = {
+        "title": "Doc Title", "language": "en",
+        "pages": [{"number": 1, "start": 0, "end": 42,
+                   "rotation": 2.5, "bbox": [0.0, 0.0, 612.0, 792.0]}],
+        "sentences": [{"start": 0, "end": 10, "language": "en"}],
+        "paragraphs": [{"start": 0, "end": 42, "language": ""}],
+        "sections": [{"start": 0, "end": 42, "title": "Intro",
+                      "title_start": 0, "title_end": 5, "level": 1,
+                      "abs_level": 1, "left": 72.0, "top": 700.25,
+                      "page": 1}],
+        "table_of_contents": [{"title": "Intro", "level": 1,
+                               "left": 72, "top": 700, "page": 1}],
+    }
+    blob = encode_structure_protobuf(struct)
+    m = decode_message(blob)
+    assert decode_string_value(m[1][0]) == "Doc Title"
+    assert decode_string_value(m[2][0]) == "en"
+    page = decode_message(m[3][0])
+    assert page[1][0] == 1 and page[2][0] == 0 and page[3][0] == 42
+    assert abs(page[4][0] - 2.5) < 1e-6
+    assert decode_packed_floats(page[5][0]) == [0.0, 0.0, 612.0, 792.0]
+    sent = decode_message(m[4][0])
+    assert (sent[1][0], sent[2][0]) == (0, 10)
+    assert decode_string_value(sent[3][0]) == "en"
+    para = decode_message(m[5][0])
+    assert decode_string_value(para[3][0]) == ""     # present-but-empty
+    sect = decode_message(m[6][0])
+    assert decode_string_value(sect[3][0]) == "Intro"
+    assert sect[10][0] == 1 and abs(sect[9][0] - 700.25) < 1e-4
+    toc = decode_message(m[7][0])
+    assert toc[3][0] == 72 and toc[5][0] == 1        # int32 left per proto
+    # hand-computed golden: Page{number=1,start=0,end=3} =
+    # key(1,varint)=0x08 val 1; key(2)=0x10 val 0; key(3)=0x18 val 3
+    tiny = encode_structure_protobuf(
+        {"pages": [{"number": 1, "start": 0, "end": 3}]})
+    assert tiny == bytes([0x1A, 0x06, 0x08, 0x01, 0x10, 0x00, 0x18, 0x03])
+    # CharBboxes: one Coordinates submessage per char, packed floats
+    cb = encode_char_bboxes_protobuf([[1.0, 2.0, 3.0, 4.0]])
+    outer = decode_message(cb)
+    inner = decode_message(outer[1][0])
+    assert decode_packed_floats(inner[1][0]) == [1.0, 2.0, 3.0, 4.0]
+    # varint multi-byte check: end=300 → 0xAC 0x02
+    big = encode_structure_protobuf(
+        {"pages": [{"number": 1, "start": 0, "end": 300}]})
+    assert big.endswith(bytes([0x18, 0xAC, 0x02]))
 
 
 # -------------------------------------------------------------- pdf tables

@@ -244,6 +244,7 @@ class PdfFont:
 class PdfChar:
     ch: str
     bbox: Tuple[float, float, float, float]
+    angle: float = 0.0     # baseline angle in degrees (Tm rotation)
 
 
 @dataclass
@@ -615,13 +616,75 @@ def _decode_pdf_string(raw: bytes) -> str:
 
 
 class _TextState:
-    __slots__ = ("fs", "x", "y", "lx", "ly", "leading", "font")
+    """Text state with full text-matrix tracking.
+
+    The line origin lives in ``(lx, ly)`` and the cursor advance in
+    ``cursor`` (text-space units along the baseline); the rotation /
+    scale part of the last ``Tm`` is kept in ``(ma, mb, mc, md)``.
+    Device position of the cursor = ``(lx + ma*cursor, ly + mb*cursor)``
+    — at the identity matrix this degenerates to the legacy
+    ``(x, y) = (lx + cursor, ly)`` math bit-for-bit. Rotated text
+    objects (ref: per-angle re-extraction passes,
+    ``PDFToTextWithCoordinates.java:463-533``) therefore extract in the
+    SAME single pass here, with each char carrying its baseline angle;
+    the per-angle grouping + inverse restore lives in
+    :func:`rotated_regions` / :func:`page_deskew_angle`."""
+    __slots__ = ("fs", "px", "py", "lx", "ly", "leading", "font",
+                 "ma", "mb", "mc", "md")
 
     def __init__(self):
         self.fs = 12.0
-        self.x = self.y = self.lx = self.ly = 0.0
+        self.px = self.py = 0.0          # current device-space pen point
+        self.lx = self.ly = 0.0          # device-space line origin
         self.leading = 14.4
         self.font: Optional[PdfFont] = None
+        self.ma, self.mb, self.mc, self.md = 1.0, 0.0, 0.0, 1.0
+
+    @property
+    def identity(self) -> bool:
+        return (self.ma == 1.0 and self.mb == 0.0
+                and self.mc == 0.0 and self.md == 1.0)
+
+    @property
+    def angle_deg(self) -> float:
+        import math
+        return math.degrees(math.atan2(self.mb, self.ma))
+
+    def advance(self, w: float) -> None:
+        """Move the pen by text-space width ``w`` along the baseline.
+        At the identity matrix this is exactly the legacy ``x += w``
+        (same float-op order → span byte-identity preserved)."""
+        if self.mb == 0.0:
+            self.px += self.ma * w if self.ma != 1.0 else w
+        else:
+            self.px += self.ma * w
+            self.py += self.mb * w
+
+    def char_box(self, w: float) -> Tuple[float, float, float, float]:
+        """Axis-aligned bbox of the (possibly rotated) glyph cell of
+        text-space width ``w`` and height ``fs`` at the pen point."""
+        if self.mb == 0.0 and self.mc == 0.0 and self.ma == 1.0 \
+                and self.md == 1.0:
+            return (_round_half_up(self.px), _round_half_up(self.py),
+                    _round_half_up(w), _round_half_up(self.fs))
+        wx, wy = self.ma * w, self.mb * w
+        hx, hy = self.mc * self.fs, self.md * self.fs
+        xs = (self.px, self.px + wx, self.px + hx, self.px + wx + hx)
+        ys = (self.py, self.py + wy, self.py + hy, self.py + wy + hy)
+        return (_round_half_up(min(xs)), _round_half_up(min(ys)),
+                _round_half_up(max(xs) - min(xs)),
+                _round_half_up(max(ys) - min(ys)))
+
+    def translate_line(self, tx: float, ty: float) -> None:
+        """Td/T*: displace the line origin by a TEXT-SPACE translation
+        (runs through the rotation/scale part of the matrix)."""
+        if self.identity:
+            self.lx += tx
+            self.ly += ty
+        else:
+            self.lx += self.ma * tx + self.mc * ty
+            self.ly += self.mb * tx + self.md * ty
+        self.px, self.py = self.lx, self.ly
 
 
 def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
@@ -653,6 +716,7 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
         if cur_block is None:
             return
         font = st.font
+        angle = 0.0 if st.mb == 0.0 else round(st.angle_deg, 2)
         if font is None or not (font.widths or font.to_unicode
                                 or font.two_byte):
             # metric-less font (e.g. bare base-14 reference): legacy
@@ -661,10 +725,8 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
                 if ch == "\x00" and cfg.remove_nuls:
                     continue
                 w = GLYPH_W * st.fs
-                cur_line.append(PdfChar(ch, (
-                    _round_half_up(st.x), _round_half_up(st.y),
-                    _round_half_up(w), _round_half_up(st.fs))))
-                st.x += w
+                cur_line.append(PdfChar(ch, st.char_box(w), angle))
+                st.advance(w)
             return
         raw = s.encode("latin-1", errors="replace")
         if font.two_byte:
@@ -674,13 +736,12 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
             codes = list(raw)
         for code in codes:
             w = font.advance(code, st.fs)
-            box = (_round_half_up(st.x), _round_half_up(st.y),
-                   _round_half_up(w), _round_half_up(st.fs))
+            box = st.char_box(w)
             for ch in font.text(code):
                 if ch == "\x00" and cfg.remove_nuls:
                     continue
-                cur_line.append(PdfChar(ch, box))
-            st.x += w
+                cur_line.append(PdfChar(ch, box, angle))
+            st.advance(w)
 
     for m in _TOK_RE.finditer(content):
         n_tok += 1
@@ -708,7 +769,8 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
             op = tok.decode("latin-1")
             if op == "BT":
                 cur_block = PdfBlockIR()
-                st.x = st.y = st.lx = st.ly = 0.0
+                st.px = st.py = st.lx = st.ly = 0.0
+                st.ma, st.mb, st.mc, st.md = 1.0, 0.0, 0.0, 1.0
             elif op == "ET":
                 new_line()
                 if cur_block is not None and cur_block.lines:
@@ -731,32 +793,29 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
                     if op == "TD":
                         st.leading = -ty
                     new_line()
-                    st.lx += tx
-                    st.ly += ty
-                    st.x, st.y = st.lx, st.ly
+                    st.translate_line(tx, ty)
             elif op == "Tm":
                 nums = [v for v in stack[-6:] if isinstance(v, float)]
                 if len(nums) == 6:
                     new_line()
+                    st.ma, st.mb, st.mc, st.md = nums[0], nums[1], \
+                        nums[2], nums[3]
                     st.lx, st.ly = nums[4], nums[5]
-                    st.x, st.y = st.lx, st.ly
+                    st.px, st.py = st.lx, st.ly
             elif op == "T*":
                 new_line()
-                st.ly -= st.leading
-                st.x, st.y = st.lx, st.ly
+                st.translate_line(0.0, -st.leading)
             elif op == "Tj":
                 if stack and isinstance(stack[-1], str) and not stack[-1].startswith("/"):
                     emit_string(stack[-1])
             elif op == "'":
                 new_line()
-                st.ly -= st.leading
-                st.x, st.y = st.lx, st.ly
+                st.translate_line(0.0, -st.leading)
                 if stack and isinstance(stack[-1], str):
                     emit_string(stack[-1])
             elif op == '"':
                 new_line()
-                st.ly -= st.leading
-                st.x, st.y = st.lx, st.ly
+                st.translate_line(0.0, -st.leading)
                 if stack and isinstance(stack[-1], str):
                     emit_string(stack[-1])
             elif op == "TJ":
@@ -772,7 +831,7 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
                     if isinstance(v, str) and v not in ("]",) and not v.startswith("/"):
                         emit_string(v)
                     elif isinstance(v, float):
-                        st.x -= v / 1000.0 * st.fs
+                        st.advance(-(v / 1000.0 * st.fs))
             stack.clear()
 
 
@@ -786,6 +845,74 @@ def extract_pdf(payload: bytes, cfg: PipelineConfig) -> List[PdfPageIR]:
         parse_content_text(doc.content_bytes(pobj), pg, cfg, pobj.fonts)
         pages.append(pg)
     return pages
+
+
+# ---- per-angle rotated text (ref: PDFToTextWithCoordinates.java:463-533)
+def page_deskew_angle(page: PdfPageIR) -> Tuple[float, bool]:
+    """Char-count-weighted dominant baseline angle of a page and whether
+    it passes the stddev acceptance gate — the engine's analog of the
+    reference's AngleCollector clustering (``.java:285-452``), feeding
+    ``PDFPlainTextPage.deskewAngle``. Angle weights = 1 per char."""
+    from .rotation import cluster_angles
+    angles = [c.angle for b in page.blocks for ln in b.lines for c in ln]
+    if not angles:
+        return 0.0, False
+    return cluster_angles(angles, [1.0] * len(angles))
+
+
+def rotated_regions(page: PdfPageIR) -> List[dict]:
+    """Group a page's chars by clustered baseline angle and restore each
+    group's boxes through the INVERSE rotation — the analog of the
+    reference's per-angle re-extraction pass (rotate page by -θ,
+    extract axis-aligned, restore through the inverse transform,
+    ``PDFToTextWithCoordinates.java:463-533``; here the single
+    matrix-aware pass already yields page-space boxes, so the inverse
+    projection recovers the axis-aligned per-angle layout).
+
+    Returns [{angle, text, boxes}] with ``boxes`` axis-aligned in the
+    de-rotated frame (a 30°-rotated paragraph comes back with the same
+    boxes its unrotated twin would have, up to rounding)."""
+    import math
+    groups: Dict[float, List[PdfChar]] = {}
+    for b in page.blocks:
+        for ln in b.lines:
+            for c in ln:
+                groups.setdefault(c.angle, []).append(c)
+    out: List[dict] = []
+    for angle in sorted(groups):
+        chars = groups[angle]
+        th = math.radians(angle)
+        cos_t, sin_t = math.cos(th), math.sin(th)
+        ac, asn = abs(cos_t), abs(sin_t)
+        denom = ac * ac - asn * asn
+        boxes = []
+        for c in chars:
+            x, y, w, h = c.bbox
+            if angle == 0.0:
+                boxes.append((x, y, w, h))
+                continue
+            # the page-space bbox of a cw×ch cell rotated by θ has
+            # extents (cw|cos|+ch|sin|, cw|sin|+ch|cos|) — invert:
+            if abs(denom) > 1e-9:
+                cell_w = (ac * w - asn * h) / denom
+                cell_h = (ac * h - asn * w) / denom
+            else:                      # 45°: extents degenerate
+                cell_w = cell_h = w / (ac + asn)
+            # reconstruct the cell origin O from the bbox min corner:
+            # corner offsets from O are 0, w⃗, h⃗, w⃗+h⃗
+            wx, wy = cos_t * cell_w, sin_t * cell_w
+            hx, hy = -sin_t * cell_h, cos_t * cell_h
+            ox = x - min(0.0, wx, hx, wx + hx)
+            oy = y - min(0.0, wy, hy, wy + hy)
+            # de-rotate the origin → axis-aligned per-angle layout
+            rx = cos_t * ox + sin_t * oy
+            ry = -sin_t * ox + cos_t * oy
+            boxes.append((_round_half_up(rx), _round_half_up(ry),
+                          _round_half_up(cell_w), _round_half_up(cell_h)))
+        out.append({"angle": angle,
+                    "text": "".join(c.ch for c in chars),
+                    "boxes": boxes})
+    return out
 
 
 def page_needs_ocr(page: PdfPageIR) -> bool:
