@@ -70,10 +70,11 @@ def corpus_dir() -> str:
 def pool_size(cpus: int) -> int:
     """Empirically tuned on the 32-core bench box: the extract actor pool
     must leave CPUs for the read + parquet-encode/write task operators or
-    the pipeline serializes (sweep: 18-20 actors optimal at 32 CPUs, 3 at
-    4, 12 at 16). ~60% of CPUs at large counts, ~75% at small."""
+    the pipeline serializes (r2 sweep at 32 CPUs: pool 19→9.3s, 22→8.2s,
+    25→12.9s; 3 at 4, 12 at 16). ~70% of CPUs at large counts, ~75% at
+    small."""
     if cpus >= 24:
-        return max(2, int(cpus * 0.6))
+        return max(2, int(cpus * 0.7))
     return max(1, min(cpus - 1, (3 * cpus) // 4))
 
 

@@ -107,3 +107,83 @@ def test_job_cli(ray_session, tiny_corpus, tmp_path):
     # bad input glob
     assert main(["--input", str(tmp_path / "nope*.parquet"),
                  "--output", out_dir]) == 2
+
+
+# ------------------------------------------------- searchable-PDF merge
+def test_merge_text_layer_roundtrip():
+    """M18 artifact: invisible OCR text layer merged into the original
+    PDF; re-extraction sees the OCR text on OCRed pages and the original
+    text elsewhere (ref MergeInPageLayers + re-extract,
+    tasks.py:398-455)."""
+    from text_extraction_system_ray.config import PipelineConfig
+    from text_extraction_system_ray.extract import extract_row
+    from text_extraction_system_ray.functions.pdf_build import build_pdf
+    from text_extraction_system_ray.functions.pdf_extract import (
+        extract_pdf, extract_pdf_toc, page_needs_ocr)
+    from text_extraction_system_ray.functions.pdf_ops import merge_text_layer_pdf
+
+    cfg = PipelineConfig()
+    original = build_pdf(
+        [["Text page one."], []], image_pages=[2],
+        outlines=[{"title": "Chapter 1", "page": 1, "level": 1,
+                   "x": 56.0, "y": 720.0}])
+    pages = extract_pdf(original, cfg)
+    assert [page_needs_ocr(p) for p in pages] == [False, True]
+
+    merged = merge_text_layer_pdf(original, {2: "recovered scanned text"},
+                                  cfg)
+    row = extract_row("u", merged, "", cfg)
+    assert row["status"] == "ok"
+    assert "Text page one." in row["text"]
+    assert "recovered scanned text" in row["text"]
+    # the OCRed page no longer classifies as needing OCR (text layer
+    # covers it? invisible text still counts as text cover)
+    merged_pages = extract_pdf(merged, cfg)
+    assert len(merged_pages) == 2
+    assert merged_pages[1].n_text_chars > 0
+    # outline survives the merge
+    toc = extract_pdf_toc(merged, cfg)
+    assert [e["title"] for e in toc] == ["Chapter 1"]
+    # escaping: parens and backslash in OCR text survive
+    tricky = merge_text_layer_pdf(original, {2: r"a(b)c\d"}, cfg)
+    assert r"a(b)c\d" in extract_row("u", tricky, "", cfg)["text"]
+
+
+def test_merge_text_layer_rotated_page():
+    from text_extraction_system_ray.config import PipelineConfig
+    from text_extraction_system_ray.extract import extract_row
+    from text_extraction_system_ray.functions.pdf_build import build_pdf
+    from text_extraction_system_ray.functions.pdf_ops import merge_text_layer_pdf
+
+    cfg = PipelineConfig()
+    original = build_pdf([[]], image_pages=[1])
+    merged = merge_text_layer_pdf(original, {1: "sideways scan"}, cfg,
+                                  page_angles={1: 90.0})
+    row = extract_row("u", merged, "", cfg)
+    assert "sideways scan" in row["text"]
+
+
+def test_attach_searchable_pdf_column():
+    import pyarrow as pa
+    from text_extraction_system_ray.config import PipelineConfig
+    from text_extraction_system_ray.extract import extract_row
+    from text_extraction_system_ray.functions.pdf_build import build_pdf
+    from text_extraction_system_ray.stages.ocr_stage import (
+        FakeOcrBackend, OcrPages, attach_searchable_pdf)
+
+    cfg = PipelineConfig()
+    pdf = build_pdf([["Visible text."], []], image_pages=[2])
+    row = extract_row("u", pdf, "", cfg)
+    batch = pa.table({
+        "url": pa.array(["u"]),
+        "html": pa.array([pdf], pa.binary()),
+        "needs_ocr_pages": pa.array([row["needs_ocr_pages"]],
+                                    pa.list_(pa.int32())),
+    })
+    with_ocr = OcrPages(FakeOcrBackend(), cfg)(batch)
+    out = attach_searchable_pdf(with_ocr, cfg)
+    blob = out.column("searchable_pdf")[0].as_py()
+    assert blob is not None and blob[:5] == b"%PDF-"
+    merged_row = extract_row("u", blob, "", cfg)
+    assert "Visible text." in merged_row["text"]
+    assert "[ocr:" in merged_row["text"]     # fake backend layer present

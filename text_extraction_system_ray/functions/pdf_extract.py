@@ -27,9 +27,11 @@ Frozen rules (the §2.8 analog, PDF side):
       (ref: ``setPageEnd``, ``.java:582``; ``PAGE_SEPARATOR``,
       ``data_extract.py:47``).
   P5. NULs stripped during decode (ref: ``data_extract.py:113-114``).
-  P6. needs-OCR classifier: page has an image XObject and fewer than 10
-      text chars (ref rule is cover-ratio based, ``pdf/pdf.py:31-33``;
-      simplified here because image placement areas are not modeled).
+  P6. needs-OCR classifier: area-based cover ratio — text_cover <
+      0.3 × image_cover, with covers from char box areas and CTM-
+      determinant image placement areas (ref ``page_requires_ocr`` +
+      ``calc_covers``, ``pdf/pdf.py:31-33, 261-273``); char-count
+      fallback when images exist but are never drawn.
 """
 from __future__ import annotations
 
@@ -261,10 +263,18 @@ class PdfPageIR:
     rotation: int
     blocks: List[PdfBlockIR] = field(default_factory=list)
     has_image: bool = False
+    image_cover: float = 0.0    # placed image area (CTM determinant sum)
 
     @property
     def n_text_chars(self) -> int:
         return sum(len(ln) for b in self.blocks for ln in b.lines)
+
+    @property
+    def text_cover(self) -> float:
+        """Sum of char box areas — the text side of the reference's
+        cover ratio (``calc_covers``, ``pdf/pdf.py:261-273``)."""
+        return sum(c.bbox[2] * c.bbox[3]
+                   for b in self.blocks for ln in b.lines for c in ln)
 
 
 @dataclass
@@ -276,6 +286,7 @@ class _PageObj:
     content_objs: List[int]
     has_image: bool
     fonts: Dict[str, PdfFont] = field(default_factory=dict)
+    image_names: set = field(default_factory=set)
 
 
 def _balanced_dict(data: bytes, start: int) -> Optional[bytes]:
@@ -415,10 +426,10 @@ class _PdfDoc:
                     contents = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
                 else:
                     contents = [int(cm.group(2))]
-            has_image = self._page_has_image(d)
+            image_names = self._page_image_names(d)
             fonts = self._page_fonts(d)
-            out.append(_PageObj(num, d, media, rot, contents, has_image,
-                                fonts))
+            out.append(_PageObj(num, d, media, rot, contents,
+                                bool(image_names), fonts, image_names))
         return out
 
     # -- fonts ---------------------------------------------------------
@@ -550,15 +561,19 @@ class _PdfDoc:
             else:
                 break
 
-    def _page_has_image(self, page_dict: bytes) -> bool:
+    def _page_image_names(self, page_dict: bytes) -> set:
+        """Names of /XObject resources that are images (drives both the
+        has_image flag and Do-operator cover accounting)."""
         xo = re.search(rb"/XObject\s*<<(.*?)>>", page_dict, re.DOTALL)
+        names: set = set()
         if not xo:
-            return False
-        for r in _REF_RE.finditer(xo.group(1)):
-            obj = self.objs.get(int(r.group(1)))
+            return names
+        for m in re.finditer(rb"/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R",
+                             xo.group(1)):
+            obj = self.objs.get(int(m.group(2)))
             if obj is not None and b"/Image" in self._dict_part(obj):
-                return True
-        return False
+                names.add(m.group(1).decode("latin-1"))
+        return names
 
     def content_bytes(self, page: _PageObj) -> bytes:
         chunks: List[bytes] = []
@@ -688,10 +703,21 @@ class _TextState:
 
 
 def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
-                       fonts: Optional[Dict[str, PdfFont]] = None) -> None:
-    """Run the text operators of one page's content stream into ``page``."""
+                       fonts: Optional[Dict[str, PdfFont]] = None,
+                       image_names: Optional[set] = None) -> None:
+    """Run the text operators of one page's content stream into ``page``.
+
+    Also tracks the CTM *determinant* through q/Q/cm so each image
+    ``Do`` contributes its placed area to ``page.image_cover`` — the
+    image side of the reference's needs-OCR cover ratio
+    (``calc_covers`` + ``page_requires_ocr``, ``pdf/pdf.py:31-33,
+    261-273``); the determinant of a matrix product is the product of
+    determinants, so the area needs no full matrix stack."""
     st = _TextState()
     fonts = fonts or {}
+    image_names = image_names or set()
+    det = 1.0
+    det_stack: List[float] = []
     stack: List[object] = []
     cur_block: Optional[PdfBlockIR] = None
     cur_line: List[PdfChar] = []
@@ -818,6 +844,20 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
                 st.translate_line(0.0, -st.leading)
                 if stack and isinstance(stack[-1], str):
                     emit_string(stack[-1])
+            elif op == "q":
+                det_stack.append(det)
+            elif op == "Q":
+                det = det_stack.pop() if det_stack else 1.0
+            elif op == "cm":
+                nums = [v for v in stack[-6:] if isinstance(v, float)]
+                if len(nums) == 6:
+                    det *= nums[0] * nums[3] - nums[1] * nums[2]
+            elif op == "Do":
+                name = next((v for v in reversed(stack)
+                             if isinstance(v, str) and v.startswith("/")),
+                            None)
+                if name is not None and name[1:] in image_names:
+                    page.image_cover += abs(det)
             elif op == "TJ":
                 # array form: strings advance chars; numbers adjust x by
                 # -n/1000 * fs (kerning)
@@ -842,7 +882,8 @@ def extract_pdf(payload: bytes, cfg: PipelineConfig) -> List[PdfPageIR]:
     for i, pobj in enumerate(doc.pages, start=1):
         pg = PdfPageIR(number=i, width=pobj.media[0], height=pobj.media[1],
                        rotation=pobj.rotate, has_image=pobj.has_image)
-        parse_content_text(doc.content_bytes(pobj), pg, cfg, pobj.fonts)
+        parse_content_text(doc.content_bytes(pobj), pg, cfg, pobj.fonts,
+                           pobj.image_names)
         pages.append(pg)
     return pages
 
@@ -916,7 +957,13 @@ def rotated_regions(page: PdfPageIR) -> List[dict]:
 
 
 def page_needs_ocr(page: PdfPageIR) -> bool:
-    """Rule P6 (ref analog: ``page_requires_ocr``, ``pdf/pdf.py:31-33``)."""
+    """Rule P6 — the reference's area-based cover ratio: a page needs
+    OCR iff ``text_cover < 0.3 * image_cover`` (``page_requires_ocr``,
+    ``pdf/pdf.py:31-33``; covers summed per ``calc_covers``,
+    ``:261-273``). Pages whose image XObjects are never drawn (no
+    ``Do``) fall back to the r01 char-count heuristic."""
+    if page.image_cover > 0.0:
+        return page.text_cover < 0.3 * page.image_cover
     return page.has_image and page.n_text_chars < 10
 
 
@@ -943,9 +990,9 @@ def split_pdf_to_page_pdfs(payload: bytes, cfg: PipelineConfig) -> List[Tuple[in
     out: List[Tuple[int, bytes]] = []
     for i, pobj in enumerate(doc.pages, start=1):
         content = doc.content_bytes(pobj)
-        if pobj.has_image:
-            # carry the image marker so needs-OCR classification survives
-            content += b" q 1 0 0 1 0 0 cm /Im1 Do Q"
+        # the original content keeps its own image cm/Do operators and
+        # build_pdf(image_pages=...) re-adds the /Im1 resource, so both
+        # has_image and the area-based needs-OCR cover survive exactly
         # carry this page's outline entries (rebased to page 1) so the
         # merged TOC equals the whole-document TOC
         page_outlines = [

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from .html_extract import ExtractError
 from .pdf_build import build_pdf
@@ -115,6 +115,77 @@ def render_debug_pdf(char_spans, pages: Sequence[dict]) -> bytes:
         raw_contents = [b""]
     return build_pdf(pages=[[] for _ in raw_contents], media_box=media,
                      raw_contents=raw_contents)
+
+
+def _escape_pdf_text(s: str) -> str:
+    return (s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            .replace("\r", " "))
+
+
+def merge_text_layer_pdf(payload: bytes, page_texts: Dict[int, str],
+                         cfg: PipelineConfig = DEFAULT_CONFIG,
+                         page_angles: Optional[Dict[int, float]] = None) -> bytes:
+    """The searchable-PDF artifact (M18): overlay per-page OCR text onto
+    the original document as an INVISIBLE text layer (render mode
+    ``3 Tr``) prepended to each page's content — the reference's
+    ``MergeInPageLayers.java:44-315`` merges per-page text-layer PDFs as
+    prepended form XObjects; here the layer is emitted as a prepended
+    text object in the same content stream (one fewer indirection, same
+    extraction semantics). Page rotations, media boxes, image resources
+    and the outline tree survive; ``page_angles`` applies the
+    ``{page:05}.angle.pdf`` rotation convention (``tasks.py:398-416``)
+    as a text-matrix rotation of the layer.
+
+    Round-trip contract (tested): re-extracting the merged PDF yields
+    the OCR text on OCRed pages and the original text elsewhere, like
+    the reference's re-extraction after merge (``tasks.py:440-455``).
+    """
+    import math
+    from .pdf_extract import extract_pdf_toc
+    doc = _PdfDoc(payload, cfg)
+    try:
+        toc = extract_pdf_toc(payload, cfg)
+    except Exception:
+        toc = []
+    page_angles = page_angles or {}
+    raw_contents = []
+    rotations = []
+    image_flags = []
+    media = (612.0, 792.0)
+    for i, pobj in enumerate(doc.pages, start=1):
+        content = doc.content_bytes(pobj)
+        media = pobj.media
+        text = page_texts.get(i)
+        if text:
+            h = pobj.media[1]
+            ang = page_angles.get(i, 0.0)
+            if ang:
+                c = math.cos(math.radians(ang))
+                s = math.sin(math.radians(ang))
+                tm = f"{c:.6f} {s:.6f} {-s:.6f} {c:.6f} 20 {h - 30:g} Tm"
+            else:
+                tm = f"1 0 0 1 20 {h - 30:g} Tm"
+            lines = [ln for ln in text.split("\n")]
+            ops = [f"BT /F1 10 Tf 3 Tr 12 TL {tm}"]
+            for j, ln in enumerate(lines):
+                if j:
+                    ops.append("T*")
+                ops.append(f"({_escape_pdf_text(ln)}) Tj")
+            ops.append("ET")
+            layer = " ".join(ops).encode("latin-1", errors="replace")
+            content = layer + b"\n" + content
+        raw_contents.append(content)
+        rotations.append(pobj.rotate)
+        image_flags.append(pobj.has_image)
+    outlines = [{"title": e["title"], "page": e["page"],
+                 "level": e["level"], "x": e["left"], "y": e["top"]}
+                for e in toc]
+    return build_pdf(pages=[[] for _ in raw_contents], media_box=media,
+                     rotations=rotations,
+                     image_pages=[i + 1 for i, f in enumerate(image_flags)
+                                  if f],
+                     raw_contents=raw_contents,
+                     outlines=outlines or None)
 
 
 def rasterize_page(payload: bytes, page: int, dpi: int = OCR_DPI) -> bytes:

@@ -249,16 +249,122 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
                          "capped": np.full(len(a), capped)})
 
 
-def minhash_candidates(sf_dir: str) -> pd.DataFrame:
-    """LSH candidate pairs: band explode → groupby(band, band_key) →
-    within-bucket pairs → global pair dedup."""
+# adaptive-execution guard: the band table is 16 compact rows/doc
+# (band int32, key int64, doc int64 ≈ 20 B); under this many DOCS the
+# whole band table is ≤ ~640 MB and bucket-grouping on the driver beats
+# a distributed hash shuffle's fixed cost by seconds. Above it, the
+# groupby(band, band_key) shuffle is the only shape that scales.
+DRIVER_GROUP_DOC_LIMIT = 2_000_000
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+class MinhashDocSigs:
+    """Small-corpus branch companion of :class:`MinhashBands`: ONE row
+    per (non-empty) doc — 16 band keys as a fixed-size list, optionally
+    the doc's shingle hashes — so candidates AND verify need a single
+    pass over the documents table. Payload is compact keys + 8 B
+    hashes, never text."""
+
+    def __init__(self, with_shingles: bool = False):
+        self.a, self.b = _perm_params()
+        self.with_shingles = with_shingles
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy()
+        flat, ptr = _shingle_batch(texts)
+        sigs = _batch_minhash(flat, ptr, self.a, self.b)
+        nonempty = ptr[1:] > ptr[:-1]
+        n = int(nonempty.sum())
+        sigs = sigs[nonempty]
+        with np.errstate(over="ignore"):
+            u = sigs.astype(np.uint64).reshape(n, _BANDS, _ROWS)
+            key = np.zeros((n, _BANDS), np.uint64)
+            for r in range(_ROWS):
+                key = key * _GRAM_MIX + u[:, :, r]
+        cols = {
+            "doc_id": pa.array(ids[nonempty].astype(np.int64), pa.int64()),
+            "band_keys": pa.FixedSizeListArray.from_arrays(
+                pa.array(key.ravel().view(np.int64), pa.int64()), _BANDS),
+        }
+        if self.with_shingles:
+            ne_idx = np.flatnonzero(nonempty)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum((ptr[1:] - ptr[:-1])[ne_idx], out=offs[1:])
+            vals = np.concatenate([flat[ptr[i]:ptr[i + 1]]
+                                   for i in ne_idx]) if n else \
+                np.empty(0, np.uint64)
+            cols["shingles"] = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                pa.array(vals.view(np.int64), pa.int64()))
+        return pa.table(cols)
+
+
+def _pairs_from_keys(ids: np.ndarray, keys: np.ndarray) -> pd.DataFrame:
+    """Vectorized bucket pairing per band: sort each band's keys, find
+    bucket boundaries with one diff, pair only inside multi-doc buckets
+    (cap/star semantics of _bucket_pairs)."""
+    out_a: List[np.ndarray] = []
+    out_b: List[np.ndarray] = []
+    for b in range(keys.shape[1]):
+        k = keys[:, b]
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ks)]])
+        for lo, hi in zip(starts, ends):
+            if hi - lo < 2:
+                continue
+            bucket = np.unique(ids[order[lo:hi]])
+            n = len(bucket)
+            if n < 2:
+                continue
+            if n > BUCKET_CAP:
+                out_a.append(np.full(n - 1, bucket[0]))
+                out_b.append(bucket[1:])
+            else:
+                iu = np.triu_indices(n, k=1)
+                out_a.append(bucket[iu[0]])
+                out_b.append(bucket[iu[1]])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a).astype("int64"),
+                         "doc_b": np.concatenate(out_b).astype("int64")}) \
+        .drop_duplicates()
+
+
+def _minhash_small(sf_dir: str, with_shingles: bool) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    bands = ds.map_batches(MinhashBands, batch_format="pyarrow",
-                           concurrency=(1, 8))
-    pairs = bands.groupby(["band", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    df = pairs.to_pandas()
+    return ds.map_batches(
+        MinhashDocSigs, fn_constructor_kwargs={"with_shingles": with_shingles},
+        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+
+
+def minhash_candidates(sf_dir: str) -> pd.DataFrame:
+    """LSH candidate pairs: band explode → bucket grouping → within-
+    bucket pairs → global pair dedup. The bucket grouping runs on the
+    driver below DRIVER_GROUP_DOC_LIMIT (per-doc band keys are 16×8 B,
+    never text) and as a ``groupby(band, band_key)`` shuffle above it."""
+    if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
+        sig = _minhash_small(sf_dir, with_shingles=False)
+        df = _pairs_from_keys(
+            sig["doc_id"].to_numpy(),
+            np.stack(sig["band_keys"].to_numpy()).astype(np.int64)
+            if len(sig) else np.zeros((0, _BANDS), np.int64))
+    else:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        bands = ds.map_batches(MinhashBands, batch_format="pyarrow",
+                               concurrency=(1, 8))
+        df = bands.groupby(["band", "band_key"]).map_groups(
+            _bucket_pairs, batch_format="pandas").to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
@@ -266,37 +372,67 @@ def minhash_candidates(sf_dir: str) -> pd.DataFrame:
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
-def _candidate_pairs_ds(sf_dir: str) -> ray.data.Dataset:
-    """Candidate pairs as a Dataset (band groupby output, pair-level
-    dedup deferred to the verify groupby)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    bands = ds.map_batches(MinhashBands, batch_format="pyarrow",
-                           concurrency=(1, 8))
-    return bands.groupby(["band", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-
-
 def minhash_neardups(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
-    """Candidates + exact-Jaccard verification, fully distributed.
+    """Candidates + exact-Jaccard verification — adaptive, never
+    shipping text to the driver (r01 read candidate texts into the
+    driver and looped per pair — VERDICT item 3).
 
-    Verify = shingle-attach join: pair halves (keyed by doc) union the
-    candidate docs' shingle-hash rows → ``groupby(doc)`` attaches each
-    doc's shingles to its pair halves → ``groupby(doc_a, doc_b)``
-    computes exact Jaccard from the two uint64 shingle sets. The two
-    shuffles move only candidate docs' shingle hashes (8 B/shingle) —
-    never document text, and nothing materializes on the driver except
-    the final verified pair list. (r01 read candidate texts into the
-    driver and looped per pair — VERDICT item 3.)
+    Small corpora (≤ DRIVER_GROUP_DOC_LIMIT docs): the candidate docs'
+    shingle HASH arrays (8 B/shingle, computed where the data lives,
+    filtered by ``pc.is_in``) come back compact and the pair check is a
+    vectorized ``np.intersect1d`` per pair on the driver.
+
+    Large corpora: shingle-attach join — pair halves (keyed by doc)
+    union the candidate docs' shingle rows → ``groupby(doc)`` attaches
+    each doc's shingles to its pair halves → ``groupby(doc_a, doc_b)``
+    computes exact Jaccard from the two uint64 shingle sets; the two
+    shuffles move only candidate shingle hashes.
     """
-    pairs_ds = _candidate_pairs_ds(sf_dir)
-    pairs = pairs_ds.to_pandas()
-    pairs = pairs[["doc_a", "doc_b"]].drop_duplicates()
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64"),
                           "jaccard": pd.Series([], dtype="float64")})
+    if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
+        # single pass: band keys + shingle hashes together
+        sig = _minhash_small(sf_dir, with_shingles=True)
+        if sig.empty:
+            return empty
+        pairs = _pairs_from_keys(
+            sig["doc_id"].to_numpy(),
+            np.stack(sig["band_keys"].to_numpy()).astype(np.int64))
+        if pairs.empty:
+            return empty
+        sets = {int(d): np.unique(np.asarray(s, np.int64))
+                for d, s in zip(sig["doc_id"], sig["shingles"])}
+        return _verify_pairs_small(pairs, sets, threshold, empty)
+    pairs = minhash_candidates(sf_dir)
     if pairs.empty:
         return empty
+    return _verify_pairs_distributed(sf_dir, pairs, threshold, empty)
+
+
+def _verify_pairs_small(pairs: pd.DataFrame, sets: dict,
+                        threshold: float, empty: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for a, b in zip(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()):
+        sa = sets.get(int(a))
+        sb = sets.get(int(b))
+        if sa is None or sb is None or not len(sa) or not len(sb):
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            rows.append((int(a), int(b), round_scalar(j, 4)))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
+        .astype({"doc_a": "int64", "doc_b": "int64"}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _verify_pairs_distributed(sf_dir: str, pairs: pd.DataFrame,
+                              threshold: float,
+                              empty: pd.DataFrame) -> pd.DataFrame:
     need = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
                                      pairs["doc_b"].to_numpy()]))
     need_ref = ray.put(need)
@@ -425,12 +561,54 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
 
 
 def simhash_neardups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """Band-bucketed simhash near-dup pairs: 4×16-bit bands → groupby →
-    within-bucket Hamming check (≤ max_hamming). Token-less docs are
-    dropped before banding (same empty-doc skew guard as MinHash); the
-    within-bucket check is vectorized and capped at BUCKET_CAP docs
-    (star fallback)."""
+    """Band-bucketed simhash near-dup pairs: 4×16-bit bands → bucket
+    grouping → within-bucket Hamming check (≤ max_hamming). Token-less
+    docs are dropped before banding (same empty-doc skew guard as
+    MinHash); the within-bucket check is vectorized and capped at
+    BUCKET_CAP docs (star fallback). Signatures are 16 B/doc, so below
+    DRIVER_GROUP_DOC_LIMIT the banding/bucketing runs on the driver;
+    above it the ``groupby(band, key)`` shuffle path runs."""
     sigs = simhash_signatures(sf_dir)
+    if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
+        df = sigs.to_pandas()
+        df = df[df["n_tokens"] > 0]
+        ids_all = df["doc_id"].to_numpy().astype(np.int64)
+        sh_all = df["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        out_a, out_b, out_d = [], [], []
+        for bi in range(4):
+            key = ((sh_all >> np.uint64(16 * bi)) & np.uint64(0xFFFF))
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            bounds = np.flatnonzero(np.diff(ks)) + 1
+            for lo, hi in zip(np.concatenate([[0], bounds]),
+                              np.concatenate([bounds, [len(ks)]])):
+                if hi - lo < 2:
+                    continue
+                idx = order[lo:hi]
+                sub = np.argsort(ids_all[idx], kind="stable")
+                idx = idx[sub]
+                n = hi - lo
+                if n > BUCKET_CAP:
+                    ai = np.zeros(n - 1, np.intp)
+                    bi2 = np.arange(1, n)
+                else:
+                    ai, bi2 = np.triu_indices(n, k=1)
+                x = sh_all[idx][ai] ^ sh_all[idx][bi2]
+                d = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                  axis=1).sum(axis=1).astype(np.int64)
+                keep = d <= max_hamming
+                out_a.append(ids_all[idx][ai[keep]])
+                out_b.append(ids_all[idx][bi2[keep]])
+                out_d.append(d[keep])
+        if not out_a or not sum(len(a) for a in out_a):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        res = pd.DataFrame({"doc_a": np.concatenate(out_a).astype("int64"),
+                            "doc_b": np.concatenate(out_b).astype("int64"),
+                            "hamming": np.concatenate(out_d)})
+        return (res.drop_duplicates(["doc_a", "doc_b"])
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
     def explode(t: pa.Table) -> pa.Table:
         keep = pc.greater(t["n_tokens"], 0)

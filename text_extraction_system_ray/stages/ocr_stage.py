@@ -85,3 +85,29 @@ class OcrPages:
         typ = pa.list_(pa.struct([("page", pa.int32()),
                                   ("text", pa.string())]))
         return batch.append_column("ocr_pages", pa.array(out, typ))
+
+
+def attach_searchable_pdf(batch: pa.Table,
+                          cfg: Optional[PipelineConfig] = None) -> pa.Table:
+    """Emit the searchable-PDF artifact column (M18): for rows with OCR
+    results, merge the per-page texts into the original payload as an
+    invisible text layer (``pdf_ops.merge_text_layer_pdf``); other rows
+    get null. Use after :class:`OcrPages` when the actual PDF artifact
+    is wanted (the reference's ``.ocred.pdf``, ``tasks.py:415-428``) —
+    the column path keeps text byte-identity untouched."""
+    from ..functions.pdf_ops import merge_text_layer_pdf
+    cfg = cfg or DEFAULT_CONFIG
+    out = []
+    for i in range(batch.num_rows):
+        ocr = batch.column("ocr_pages")[i].as_py() or []
+        payload = batch.column("html")[i].as_py()
+        if not ocr or not payload:
+            out.append(None)
+            continue
+        try:
+            out.append(merge_text_layer_pdf(
+                payload, {r["page"]: r["text"] for r in ocr}, cfg))
+        except Exception:   # noqa: BLE001 — artifact failure ≠ row failure
+            out.append(None)
+    return batch.append_column("searchable_pdf",
+                               pa.array(out, pa.binary()))
