@@ -95,9 +95,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _ann.cosine_topk,                # SQL-checked
         "ann_lsh_topk": _ann.lsh_cosine_topk,
         "ann_ivf_topk": _ann.ivf_cosine_topk,
+        "ann_ivf_index_topk": _ann.ivf_index_topk,
         "embedding_neardups": _ann.embedding_neardup_pairs,  # SQL-checked
-        # multimodal plumbing (stubbed decode kernel, real dataflow)
+        # multimodal plumbing (deterministic fake codecs, real dataflow;
+        # the *_summary projections are SQL-checked against doc_id
+        # arithmetic, pinning the binary→decode dataflow by value)
         "image_metadata": _mm.image_metadata,
+        "image_metadata_summary": _mm.image_metadata_summary,
+        "image_resize_summary": _mm.image_resize_summary,
+        "image_features": _mm.image_features,
+        "video_frame_sample": _mm.video_frame_sample,
+        "audio_metadata_summary": _mm.audio_metadata_summary,
         # real-font PDF decode round-trip (Widths/ToUnicode/filters;
         # oracle = the SOURCE text, so the decode path is SQL-checked)
         "realfont_roundtrip": _fontcheck.realfont_roundtrip,
@@ -337,6 +345,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(trim(text), '\\s+', ' ', 'g')
                        || chr(10) || chr(12) AS text_out
+            FROM documents
+        """,
+        "image_metadata_summary": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 5 THEN 'error' ELSE 'ok' END AS status,
+                   CASE WHEN doc_id % 17 = 5 THEN 0
+                        ELSE 8 + (doc_id % 5) * 4 END AS width,
+                   CASE WHEN doc_id % 17 = 5 THEN 0
+                        ELSE 8 + (doc_id % 3) * 4 END AS height,
+                   CASE WHEN doc_id % 17 = 5 THEN 0 ELSE 3 END AS channels,
+                   CASE WHEN doc_id % 17 = 5 THEN '' ELSE 'RGB' END AS mode
+            FROM documents
+        """,
+        "image_resize_summary": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 5 THEN 'error' ELSE 'ok' END AS status,
+                   CASE WHEN doc_id % 17 = 5 THEN 0 ELSE 16 END AS width,
+                   CASE WHEN doc_id % 17 = 5 THEN 0 ELSE 16 END AS height
+            FROM documents
+        """,
+        "video_frame_sample": """
+            SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 4, 2)) AS INT)
+                       AS frame_no,
+                   8 AS width, 8 AS height
+            FROM documents
+        """,
+        "audio_metadata_summary": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 23 = 7 THEN 'error' ELSE 'ok' END AS status,
+                   CASE WHEN doc_id % 23 = 7 THEN 0
+                        WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+                   CASE WHEN doc_id % 23 = 7 THEN 0
+                        ELSE 4000 + (doc_id % 7) * 1000 END AS n_samples,
+                   CASE WHEN doc_id % 23 = 7 THEN 0.0
+                        ELSE ROUND((4000 + (doc_id % 7) * 1000) * 1.0 /
+                                   (CASE WHEN doc_id % 2 = 0
+                                         THEN 8000 ELSE 16000 END), 4)
+                   END AS duration_s
             FROM documents
         """,
         "ann_cosine_topk": """

@@ -131,3 +131,87 @@ def test_ann_ivf_recall(ray_session):
     assert all(qid in set(approx[approx["query_id"] == qid]["vec_id"])
                for qid in exact["query_id"].unique())
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ann_ivf_partitioned_index(ray_session, tmp_path):
+    """At-scale IVF layout: corpus partitioned by list id on disk; a
+    query reads ONLY its n_probe lists' partitions; recall ≥0.8 vs
+    exact."""
+    import os
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    meta = _ann.ivf_build_index(sf, idx, n_lists=8)
+    assert meta["n_lists"] == 8
+    dirs = [d for d in os.listdir(idx) if d.startswith("list_id=")]
+    assert 1 < len(dirs) <= 8
+    # partitions cover the corpus exactly once
+    import pyarrow.parquet as pq
+    total = sum(pq.ParquetDataset(os.path.join(idx, d)).read().num_rows
+                for d in dirs)
+    assert total == pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+    qids, q = _ann._query_matrix(sf)
+    res = _ann.ivf_query_index(idx, qids, _ann._normalize(q), n_probe=4)
+    exact = _ann.cosine_topk(sf)
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(res[res["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+# ----------------------------------------------- multimodal kernels (r2)
+def test_resize_kernel_pixels():
+    """Nearest-neighbor resize is real math on the fake pixel buffer: a
+    2x2 checkerboard upscaled to 4x4 quadrant-replicates."""
+    import numpy as np
+    from text_extraction_system_ray.pipelines.multimodal import (
+        MAGIC, _HEADER, _decode_stub, resize_fake_image)
+    body = np.array([[[0], [255]], [[255], [0]]], dtype=np.uint8)
+    payload = _HEADER.pack(MAGIC, 2, 2, 1, b"L\x00\x00\x00") + body.tobytes()
+    out = resize_fake_image(payload, 4, 4)
+    m = _decode_stub(out)
+    assert (m["width"], m["height"], m["channels"]) == (4, 4, 1)
+    arr = np.frombuffer(out[_HEADER.size:], np.uint8).reshape(4, 4)
+    expect = np.array([[0, 0, 255, 255], [0, 0, 255, 255],
+                       [255, 255, 0, 0], [255, 255, 0, 0]], np.uint8)
+    assert (arr == expect).all()
+
+
+def test_frame_sample_and_audio_kernels():
+    import numpy as np
+    import pyarrow as pa
+    from text_extraction_system_ray.pipelines.multimodal import (
+        AudioMeta, SampleFrames, encode_fake_audio, encode_fake_video)
+    vid = encode_fake_video(5, 8, 8, seed=3)
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "video": pa.array([vid], pa.binary())})
+    out = SampleFrames(stride=2)(t)
+    assert out.column("frame_no").to_pylist() == [0, 2, 4]
+    # a constant-amplitude PCM has RMS == |amplitude|
+    from text_extraction_system_ray.pipelines.multimodal import (
+        AUDIO_MAGIC, _AHEADER)
+    pcm = np.full(1000, 1000, np.int16)
+    payload = _AHEADER.pack(AUDIO_MAGIC, 8000, 1000) + pcm.tobytes()
+    at = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "audio": pa.array([payload], pa.binary())})
+    res = AudioMeta()(at)
+    assert res.column("duration_s")[0].as_py() == 0.125
+    assert res.column("rms")[0].as_py() == 1000.0
+    bad = pa.table({"doc_id": pa.array([2], pa.int64()),
+                    "audio": pa.array([b"junk"], pa.binary())})
+    assert AudioMeta()(bad).column("status").to_pylist() == ["error"]
+
+
+def test_image_features_deterministic(ray_session):
+    from text_extraction_system_ray.pipelines.multimodal import image_features
+    df = image_features("/root/testdata/sf0.001").to_pandas()
+    ok = df[df["status"] == "ok"]
+    assert len(ok) > 0
+    assert all(len(e) == 8 for e in ok["embedding"])
+    assert all(abs(sum(e) - 1.0) < 1e-3 for e in ok["embedding"])
+    # deterministic across calls
+    df2 = image_features("/root/testdata/sf0.001").to_pandas()
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = df2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["channel_means"].astype(str) == b["channel_means"].astype(str)).all()

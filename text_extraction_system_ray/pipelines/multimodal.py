@@ -122,3 +122,285 @@ def image_metadata(sf_dir: str) -> ray.data.Dataset:
     return synth_images_from_documents(sf_dir).map_batches(
         DecodeImages, batch_format="pyarrow", batch_size=64,
         concurrency=(1, 4))
+
+
+def image_metadata_summary(sf_dir: str) -> "object":
+    """SQL-checkable projection of the decode pipeline: the synthetic
+    corpus derives (status, width, height, channels, mode) from doc_id
+    arithmetic, so DuckDB can recompute the EXPECTED metadata and the
+    driver verifies the whole binary→decode dataflow by value."""
+    ds = image_metadata(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "status", "width", "height",
+                         "channels", "mode"])
+
+    return ds.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- resize
+def resize_fake_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize on the fake format's actual pixel
+    buffer (numpy index math — the kernel a PIL deployment would swap
+    for ``Image.resize``)."""
+    m = _decode_stub(payload)
+    w, h, c = m["width"], m["height"], m["channels"]
+    arr = np.frombuffer(payload[_HEADER.size:], np.uint8).reshape(h, w, c)
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    out = arr[yi[:, None], xi[None, :], :]
+    return _HEADER.pack(MAGIC, out_w, out_h, c,
+                        (m["mode"] + "\x00" * 4)[:4].encode()) + out.tobytes()
+
+
+class ResizeImages:
+    """Actor-pool resize stage: binary in → resized binary + dims out.
+    Error rows pass through with null payloads."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, payloads, status, ws, hs = [], [], [], [], []
+        for doc_id, payload in zip(t.column("doc_id").to_pylist(),
+                                   t.column("image").to_pylist()):
+            ids.append(doc_id)
+            try:
+                out = resize_fake_image(payload, self.out_w, self.out_h)
+                payloads.append(out)
+                status.append("ok")
+                ws.append(self.out_w)
+                hs.append(self.out_h)
+            except Exception as e:  # noqa: BLE001 — bad payloads are rows
+                payloads.append(None)
+                status.append("error")
+                ws.append(0)
+                hs.append(0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "status": pa.array(status, pa.string()),
+                         "width": pa.array(ws, pa.int32()),
+                         "height": pa.array(hs, pa.int32()),
+                         "image": pa.array(payloads, pa.binary())})
+
+
+def image_resize_summary(sf_dir: str, out_w: int = 16, out_h: int = 16):
+    """Synth → resize actor pool → (doc_id, status, width, height).
+    SQL-checkable: ok rows come out at the target size, corrupt rows
+    error — both derivable from doc_id arithmetic."""
+    ds = synth_images_from_documents(sf_dir).map_batches(
+        ResizeImages, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "status", "width", "height"])
+
+    return ds.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------- feature extraction
+class ImageFeatures:
+    """Feature-extract stage: per-channel means + an 8-bin intensity
+    histogram as a small embedding vector (real numpy kernels on the
+    fake pixel buffer; a deployment swaps in a model forward pass —
+    batched inference, actor-held weights)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, status, means, embs = [], [], [], []
+        for doc_id, payload in zip(t.column("doc_id").to_pylist(),
+                                   t.column("image").to_pylist()):
+            ids.append(doc_id)
+            try:
+                m = _decode_stub(payload)
+                arr = np.frombuffer(payload[_HEADER.size:], np.uint8) \
+                    .reshape(m["height"], m["width"], m["channels"])
+                ch_mean = arr.mean(axis=(0, 1))
+                hist = np.histogram(arr, bins=8, range=(0, 256))[0]
+                emb = (hist / max(hist.sum(), 1)).astype(np.float32)
+                status.append("ok")
+                means.append([round(float(x), 4) for x in ch_mean])
+                embs.append(emb.tolist())
+            except Exception:   # noqa: BLE001
+                status.append("error")
+                means.append([])
+                embs.append([])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "status": pa.array(status, pa.string()),
+                         "channel_means": pa.array(means,
+                                                   pa.list_(pa.float64())),
+                         "embedding": pa.array(embs,
+                                               pa.list_(pa.float32()))})
+
+
+def image_features(sf_dir: str) -> ray.data.Dataset:
+    return synth_images_from_documents(sf_dir).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4))
+
+
+# ------------------------------------------------------ video frames
+VIDEO_MAGIC = b"FAKEVID1"
+_VHEADER = struct.Struct("<8sI")
+
+
+def encode_fake_video(n_frames: int, width: int, height: int,
+                      seed: int = 0) -> bytes:
+    frames = [encode_fake_image(width, height, 3, seed=seed * 1000 + i)
+              for i in range(n_frames)]
+    return _VHEADER.pack(VIDEO_MAGIC, n_frames) + b"".join(frames)
+
+
+class SampleFrames:
+    """Frame-sample stage (flat explode): every ``stride``-th frame of
+    each video becomes its own row carrying the frame image bytes —
+    the fan-out shape a real ffmpeg deployment keeps (one row per
+    sampled frame, payloads stay binary)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frame_nos, imgs = [], [], []
+        for doc_id, payload in zip(t.column("doc_id").to_pylist(),
+                                   t.column("video").to_pylist()):
+            try:
+                if payload is None or len(payload) < _VHEADER.size:
+                    raise ValueError("short payload")
+                magic, n = _VHEADER.unpack_from(payload, 0)
+                if magic != VIDEO_MAGIC:
+                    raise NotImplementedError("real video demux stubbed")
+                off = _VHEADER.size
+                for i in range(n):
+                    _, w, h, c, _m = _HEADER.unpack_from(payload, off)
+                    size = _HEADER.size + w * h * c
+                    if i % self.stride == 0:
+                        ids.append(doc_id)
+                        frame_nos.append(i)
+                        imgs.append(payload[off:off + size])
+                    off += size
+            except Exception:   # noqa: BLE001 — bad videos yield no frames
+                continue
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "frame_no": pa.array(frame_nos, pa.int32()),
+                         "image": pa.array(imgs, pa.binary())})
+
+
+def synth_videos_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic video column: n_frames = 2 + doc_id % 4, 8×8."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "video": pa.array([encode_fake_video(2 + d % 4, 8, 8, seed=d)
+                               for d in ids], pa.binary())})
+
+    return ds.map_batches(make, batch_format="pyarrow")
+
+
+def video_frame_sample(sf_dir: str, stride: int = 2):
+    """Synth videos → frame-sample explode → (doc_id, frame_no, width,
+    height). SQL-checkable: sampled frame numbers are
+    range(0, 2 + doc_id % 4, stride)."""
+    ds = synth_videos_from_documents(sf_dir).map_batches(
+        SampleFrames, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+
+    def proj(t: pa.Table) -> pa.Table:
+        metas = [_decode_stub(p) for p in t.column("image").to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "frame_no": t["frame_no"],
+                         "width": pa.array([m["width"] for m in metas],
+                                           pa.int32()),
+                         "height": pa.array([m["height"] for m in metas],
+                                            pa.int32())})
+
+    return ds.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values(["doc_id", "frame_no"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------- audio
+AUDIO_MAGIC = b"FAKEAUD1"
+_AHEADER = struct.Struct("<8sII")
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int,
+                      seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    body = rng.randint(-32768, 32767, size=n_samples,
+                       dtype=np.int64).astype(np.int16).tobytes()
+    return _AHEADER.pack(AUDIO_MAGIC, sample_rate, n_samples) + body
+
+
+class AudioMeta:
+    """Audio decode/metadata stage (real math on the fake PCM buffer;
+    a deployment swaps in soundfile/ffmpeg): duration + RMS level."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, status, rates, nss, durs, rms = [], [], [], [], [], []
+        for doc_id, payload in zip(t.column("doc_id").to_pylist(),
+                                   t.column("audio").to_pylist()):
+            ids.append(doc_id)
+            try:
+                if payload is None or len(payload) < _AHEADER.size:
+                    raise ValueError("short payload")
+                magic, rate, n = _AHEADER.unpack_from(payload, 0)
+                if magic != AUDIO_MAGIC:
+                    raise NotImplementedError("real audio decode stubbed")
+                pcm = np.frombuffer(payload[_AHEADER.size:], np.int16)
+                if len(pcm) != n:
+                    raise ValueError("length mismatch")
+                status.append("ok")
+                rates.append(rate)
+                nss.append(n)
+                durs.append(round(n / rate, 4))
+                rms.append(round(float(np.sqrt(np.mean(
+                    pcm.astype(np.float64) ** 2))), 2) if n else 0.0)
+            except Exception:   # noqa: BLE001
+                status.append("error")
+                rates.append(0)
+                nss.append(0)
+                durs.append(0.0)
+                rms.append(0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "status": pa.array(status, pa.string()),
+                         "sample_rate": pa.array(rates, pa.int32()),
+                         "n_samples": pa.array(nss, pa.int64()),
+                         "duration_s": pa.array(durs, pa.float64()),
+                         "rms": pa.array(rms, pa.float64())})
+
+
+def audio_metadata_summary(sf_dir: str):
+    """Synth audio (rate 8000 or 16000 by doc_id parity, n_samples =
+    4000 + (doc_id % 7) * 1000) → decode actor pool → SQL-checkable
+    (doc_id, status, sample_rate, n_samples, duration_s)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            if d % 23 == 7:
+                payloads.append(b"NOTAUDIO")
+            else:
+                rate = 8000 if d % 2 == 0 else 16000
+                payloads.append(encode_fake_audio(
+                    rate, 4000 + (d % 7) * 1000, seed=d))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "audio": pa.array(payloads, pa.binary())})
+
+    out = ds.map_batches(make, batch_format="pyarrow").map_batches(
+        AudioMeta, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "status", "sample_rate", "n_samples",
+                         "duration_s"])
+
+    return out.map_batches(proj, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
