@@ -92,3 +92,37 @@ def test_exploded_pipeline_toc_page_shift(ray_session):
     assert [e["page"] for e in got_toc] == [e["page"] for e in whole["toc"]]
     assert [e["title"] for e in got_toc] == [e["title"] for e in whole["toc"]]
     assert out[0]["text"] == whole["text"]
+
+
+def test_exploded_pipeline_nested_toc_levels(ray_session):
+    """NESTED outlines (levels 1..3 whose ancestors live on other pages)
+    survive the distributed exploded path exactly — the whole-document
+    TOC rides the doc_toc side channel through the groupby merge (r2;
+    previously flattened per-page, the documented r1 limitation)."""
+    from text_extraction_system_ray.pipelines.extraction import (
+        extract_dataset_exploded)
+    outlines = [
+        {"title": "Part I", "page": 1, "level": 1, "x": 72, "y": 720},
+        {"title": "Chapter 1", "page": 2, "level": 2, "x": 72, "y": 700},
+        {"title": "Section 1.1", "page": 3, "level": 3, "x": 72, "y": 680},
+        {"title": "Chapter 2", "page": 4, "level": 2, "x": 72, "y": 700},
+        {"title": "Part II", "page": 5, "level": 1, "x": 72, "y": 720},
+    ]
+    pdf = build_pdf(
+        [[f"Page {p} line {j} words here." for j in range(6)]
+         for p in range(6)], outlines=outlines)
+    t = pa.table({"url": ["u"],
+                  "warc_ts": pa.array([0], pa.timestamp("us")),
+                  "html": pa.array([pdf], pa.binary()),
+                  "text": [""], "lang": [""]})
+    cfg = PipelineConfig(giant_row_bytes=1024,
+                         read_sections_from_toc=True)
+    out = extract_dataset_exploded(ray.data.from_arrow(t), cfg).take_all()
+    whole = extract_row("u", pdf, "", cfg)
+    assert len(out) == 1
+    got = out[0]
+    assert [(e["title"], e["level"], e["page"]) for e in got["toc"]] == \
+           [(e["title"], e["level"], e["page"]) for e in whole["toc"]]
+    assert [e["level"] for e in got["toc"]] == [1, 2, 3, 2, 1]
+    assert got["sections"] == whole["sections"]
+    assert got["text"] == whole["text"]

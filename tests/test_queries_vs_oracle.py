@@ -58,11 +58,17 @@ def test_all_queries_run(entrymod):
 
 @pytest.mark.parametrize("name", [
     "q1_pricing_summary", "revenue_by_nation", "lineitem_orders_join",
+    "lineitem_orders_join_native",
     "top_orders", "filter_high_discount", "events_hourly",
     "events_sessionize", "events_sliding_window", "segment_counts", "dedup_exact", "token_count",
     "doc_stats", "quality_score", "ann_cosine_topk", "embedding_neardups",
     "events_orders_asof", "customers_semi_join", "customers_anti_join",
     "union_all_keys",
+    # r2 additions
+    "dedup_minhash_candidates", "dedup_minhash_neardups",
+    "dedup_ngram_jaccard", "realfont_roundtrip",
+    "image_metadata_summary", "image_resize_summary",
+    "video_frame_sample", "audio_metadata_summary",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

@@ -975,12 +975,14 @@ def split_pdf_to_page_pdfs(payload: bytes, cfg: PipelineConfig) -> List[Tuple[in
     extracted independently, and reassemble via ``groupby(url)`` with
     offset shifting (ref chord fan-in, ``tasks.py:287-293``).
 
-    Limitation: outline NESTING does not survive chunking (an outline
-    entry's level is its tree depth, and ancestors may live on other
-    pages) — chunk TOC entries keep their page/coords but flatten to the
-    per-page tree. The in-actor split path compensates by re-reading the
-    whole-document TOC (stages/extract_stage.py); the distributed
-    exploded path documents this as its one divergence.
+    Outline nesting note: a per-page chunk PDF cannot encode outline
+    levels whose ancestors live on other pages, so chunk PDFs carry a
+    flattened per-page tree. BOTH consumers compensate with the
+    whole-document TOC: the in-actor split path re-reads it
+    (stages/extract_stage.py), and the distributed exploded path ships
+    it as the ``doc_toc`` side-channel column through the groupby merge
+    (stages/chunk.py, r2) — nested levels survive both paths exactly
+    (tests/test_chunk.py::test_exploded_pipeline_nested_toc_levels).
     """
     doc = _PdfDoc(payload, cfg)
     try:

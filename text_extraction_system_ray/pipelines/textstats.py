@@ -36,14 +36,43 @@ def _tokens(text: str) -> List[str]:
     return _WS_SPLIT.split(t) if t else []
 
 
+def _batch_tokens(texts) -> tuple:
+    """Whole-batch tokenization: (flat token object-array, ptr offsets).
+    One Python pass builds the flat list; everything downstream is
+    vectorized numpy/pandas over it (segment sums via reduceat)."""
+    tok_lists = [_tokens(x or "") for x in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                       len(tok_lists))
+    ptr = np.zeros(len(tok_lists) + 1, np.int64)
+    np.cumsum(lens, out=ptr[1:])
+    flat = np.empty(int(ptr[-1]), dtype=object)
+    i = 0
+    for toks in tok_lists:
+        flat[i:i + len(toks)] = toks
+        i += len(toks)
+    return flat, ptr
+
+
+def _segment_sums(values: np.ndarray, ptr: np.ndarray) -> np.ndarray:
+    """Per-document sums of a flat per-token array (empty docs → 0)."""
+    n = len(ptr) - 1
+    if len(values) == 0:
+        return np.zeros(n, np.int64)
+    starts = np.minimum(ptr[:-1], len(values) - 1)
+    out = np.add.reduceat(values, starts)
+    out[ptr[:-1] == ptr[1:]] = 0
+    return out
+
+
 def token_count(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        n = [len(_tokens(x)) for x in t.column("text").to_pylist()]
+        _, ptr = _batch_tokens(t.column("text").to_pylist())
         return pa.table({"doc_id": t["doc_id"],
-                         "n_tokens": pa.array(n, pa.int64())})
+                         "n_tokens": pa.array(ptr[1:] - ptr[:-1],
+                                              pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -53,18 +82,25 @@ def doc_stats(sf_dir: str) -> ray.data.Dataset:
                                columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         texts = t.column("text").to_pylist()
-        n_chars, n_tokens, avg_tok = [], [], []
-        for x in texts:
-            toks = _tokens(x)
-            n_chars.append(len(x))
-            n_tokens.append(len(toks))
-            total = sum(len(w) for w in toks)
-            avg_tok.append(round_scalar(total / len(toks), 4) if toks else 0.0)
+        flat, ptr = _batch_tokens(texts)
+        n_tokens = ptr[1:] - ptr[:-1]
+        tok_lens = (pd.Series(flat).str.len().to_numpy(np.int64)
+                    if len(flat) else np.zeros(0, np.int64))
+        totals = _segment_sums(tok_lens, ptr)
+        from .util import round_half_up
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = np.where(n_tokens > 0,
+                           round_half_up(totals / np.maximum(n_tokens, 1), 4),
+                           0.0)
+        n_chars = pc.utf8_length(
+            pc.cast(t["text"], pa.large_string())).to_numpy(
+                zero_copy_only=False).astype(np.int64)
         return pa.table({"doc_id": t["doc_id"],
                          "n_chars": pa.array(n_chars, pa.int64()),
                          "n_tokens": pa.array(n_tokens, pa.int64()),
-                         "avg_token_len": pa.array(avg_tok, pa.float64())})
+                         "avg_token_len": pa.array(avg, pa.float64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -81,19 +117,21 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
     stop = frozenset(STOPWORDS)
 
     def fn(t: pa.Table) -> pa.Table:
-        out_stop, out_len, out_score = [], [], []
-        for x in t.column("text").to_pylist():
-            toks = [w.lower() for w in _tokens(x)]
-            n = len(toks)
-            sr = (sum(1 for w in toks if w in stop) / n) if n else 0.0
-            ls = min(1.0, n / 50.0)
-            out_stop.append(round_scalar(sr, 4))
-            out_len.append(round_scalar(ls, 4))
-            out_score.append(round_scalar(0.5 * round_scalar(ls, 4) + 0.5 * round_scalar(sr, 4), 4))
+        from .util import round_half_up
+        texts = [(x or "").lower() for x in t.column("text").to_pylist()]
+        flat, ptr = _batch_tokens(texts)
+        n = (ptr[1:] - ptr[:-1]).astype(np.float64)
+        is_stop = (pd.Index(flat).isin(stop).astype(np.int64)
+                   if len(flat) else np.zeros(0, np.int64))
+        stops = _segment_sums(is_stop, ptr).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sr = round_half_up(np.where(n > 0, stops / np.maximum(n, 1), 0.0), 4)
+        ls = round_half_up(np.minimum(1.0, n / 50.0), 4)
+        score = round_half_up(0.5 * ls + 0.5 * sr, 4)
         return pa.table({"doc_id": t["doc_id"],
-                         "stop_ratio": pa.array(out_stop, pa.float64()),
-                         "len_score": pa.array(out_len, pa.float64()),
-                         "quality": pa.array(out_score, pa.float64())})
+                         "stop_ratio": pa.array(sr, pa.float64()),
+                         "len_score": pa.array(ls, pa.float64()),
+                         "quality": pa.array(score, pa.float64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -12,6 +12,7 @@ linear pipeline where the extract actor handles oversized PDFs in-process.
 """
 from __future__ import annotations
 
+import json
 from typing import Optional
 
 import numpy as np
@@ -37,22 +38,36 @@ class SplitGiantRows:
         langs = (batch.column("lang").to_pylist()
                  if "lang" in batch.column_names else [""] * len(urls))
         out = {"url": [], "html": [], "lang": [],
-               "chunk_id": [], "n_chunks": [], "is_chunk": []}
+               "chunk_id": [], "n_chunks": [], "is_chunk": [],
+               "doc_toc": []}
         for u, p, l in zip(urls, payloads, langs):
             chunks = None
+            doc_toc = ""
             if p is not None and sniff_kind(p) == "pdf":
                 try:
                     chunks = split_pdf_to_page_pdfs(p, self.cfg)
                 except Exception:
                     chunks = None
+                if chunks and len(chunks) > 1:
+                    # whole-document outline as a side channel: per-page
+                    # chunk PDFs cannot encode nesting whose ancestors
+                    # live on other pages, so the true tree (correct
+                    # levels + original page numbers) rides along as
+                    # JSON on the first chunk row and wins at merge
+                    try:
+                        from ..functions.pdf_extract import extract_pdf_toc
+                        doc_toc = json.dumps(extract_pdf_toc(p, self.cfg))
+                    except Exception:
+                        doc_toc = ""
             if chunks and len(chunks) > 1:
-                for no, pdf_bytes in chunks:
+                for idx, (no, pdf_bytes) in enumerate(chunks):
                     out["url"].append(u)
                     out["html"].append(pdf_bytes)
                     out["lang"].append(l or "")
                     out["chunk_id"].append(no)
                     out["n_chunks"].append(len(chunks))
                     out["is_chunk"].append(1)
+                    out["doc_toc"].append(doc_toc if idx == 0 else "")
             else:
                 out["url"].append(u)
                 out["html"].append(p)
@@ -60,6 +75,7 @@ class SplitGiantRows:
                 out["chunk_id"].append(0)
                 out["n_chunks"].append(1)
                 out["is_chunk"].append(0)
+                out["doc_toc"].append("")
         return pa.table({
             "url": pa.array(out["url"], pa.string()),
             "html": pa.array(out["html"], pa.binary()),
@@ -67,6 +83,7 @@ class SplitGiantRows:
             "chunk_id": pa.array(out["chunk_id"], pa.int32()),
             "n_chunks": pa.array(out["n_chunks"], pa.int32()),
             "is_chunk": pa.array(out["is_chunk"], pa.int8()),
+            "doc_toc": pa.array(out["doc_toc"], pa.string()),
         })
 
 
@@ -74,7 +91,7 @@ def _row_to_dict(tbl: pa.Table, i: int) -> dict:
     d = {name: tbl.column(name)[i].as_py()
          for name in tbl.column_names
          if name not in ("char_spans", "chunk_id", "n_chunks", "is_chunk",
-                         "lang_hint")}
+                         "lang_hint", "doc_toc")}
     spans = tbl.column("char_spans")[i].as_py() or []
     d["char_spans"] = np.asarray(spans, np.float32).reshape(-1, 4)
     return d
@@ -99,4 +116,20 @@ def merge_group(group: pa.Table,
     if "lang_hint" in group.column_names and len(group):
         hint = (group.column("lang_hint")[0].as_py() or "").strip().lower()[:2]
     merged = merge_extracted_rows(rows, cfg.doc_language or hint)
+    # whole-document outline side channel (see SplitGiantRows): restores
+    # TOC nesting across chunk boundaries, mirroring the in-actor split
+    # path's whole-doc re-read (stages/extract_stage.py)
+    if merged["status"] == "ok" and "doc_toc" in group.column_names:
+        doc_toc = next((v for v in group.column("doc_toc").to_pylist()
+                        if v), "")
+        if doc_toc:
+            try:
+                merged["toc"] = json.loads(doc_toc)
+                if cfg.read_sections_from_toc and merged["toc"]:
+                    from ..functions.assembly import sections_from_toc
+                    merged["sections"] = sections_from_toc(
+                        merged["toc"], merged["char_spans"],
+                        merged["pages"], len(merged["text"]))
+            except Exception:
+                pass
     return results_to_table([merged])

@@ -52,6 +52,8 @@ class ExtractText:
             for col in ("chunk_id", "n_chunks", "is_chunk"):
                 out = out.append_column(col, batch.column(col))
             out = out.append_column("lang_hint", batch.column("lang"))
+            if "doc_toc" in batch.column_names:
+                out = out.append_column("doc_toc", batch.column("doc_toc"))
         return out
 
     def _extract_one(self, url: str, payload, lang_hint: str) -> dict:
