@@ -111,8 +111,10 @@ def run_queries() -> dict:
               "top_orders", "events_hourly", "events_sessionize",
               "dedup_exact", "dedup_minhash_neardups", "dedup_simhash",
               "token_count", "quality_score", "lang_id", "fingerprint",
-              "ann_cosine_topk", "ann_lsh_topk", "embedding_neardups",
-              "image_metadata"]
+              "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_index_topk",
+              "embedding_neardups", "realfont_roundtrip",
+              "image_metadata", "video_frame_sample",
+              "audio_metadata_summary"]
     out = {}
     for name in picked:
         t0 = time.monotonic()
