@@ -55,8 +55,11 @@ def test_render_debug_pdf_parses_back():
     assert b" re S" in dbg
 
 
-def test_rasterize_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_rasterize_real_and_tesseract_stubbed():
+    # rasterization is real now (r2: engine renders its own layout IR);
+    # a malformed PDF raises the extractor's error, not NotImplementedError
+    from text_extraction_system_ray.functions.html_extract import ExtractError
+    with pytest.raises(ExtractError):
         rasterize_page(b"%PDF-", 1)
     with pytest.raises(NotImplementedError):
         TesseractBackend()
@@ -187,3 +190,36 @@ def test_attach_searchable_pdf_column():
     merged_row = extract_row("u", blob, "", cfg)
     assert "Visible text." in merged_row["text"]
     assert "[ocr:" in merged_row["text"]     # fake backend layer present
+
+
+def test_ocr_arm_deskew_detects_page_angle():
+    """The full OCR-arm loop with real raster kernels: a skewed
+    needs-OCR page gets its angle detected (rasterize → projection
+    profile) and carried into the ocr_pages struct (ref
+    process_pdf_page detect→rotate, data_extract.py:305-362)."""
+    import pyarrow as pa
+    from text_extraction_system_ray.config import PipelineConfig
+    from text_extraction_system_ray.stages.ocr_stage import (
+        FakeOcrBackend, OcrPages)
+    from tests.test_pdf_fonts import (CMAP, DESCRIPTOR, WIDTHS_FONT,
+                                      simple_font_pdf, stream_obj)
+    from tests.test_pdf_rotation_extract import _rot_content
+
+    cfg = PipelineConfig()
+    # single-page PDF whose text is rotated 8 deg; force it through the
+    # OCR arm by marking it needs-OCR
+    body = b"\n".join(
+        _rot_content(8.0, 80, 650 - 40 * i, b"ABCABCABCABCABCABCABC")
+        for i in range(6))
+    pdf = simple_font_pdf(body, WIDTHS_FONT,
+                          {6: DESCRIPTOR, 7: stream_obj(b"", CMAP)})
+    batch = pa.table({
+        "url": pa.array(["u"]),
+        "html": pa.array([pdf], pa.binary()),
+        "needs_ocr_pages": pa.array([[1]], pa.list_(pa.int32())),
+    })
+    out = OcrPages(FakeOcrBackend(), cfg, deskew=True)(batch)
+    rows = out.column("ocr_pages")[0].as_py()
+    assert len(rows) == 1
+    assert abs(rows[0]["angle"] - 8.0) <= 0.6
+    assert rows[0]["text"].startswith("[ocr:")

@@ -1,0 +1,90 @@
+"""Raster kernels (r2): page rasterization from the engine's own layout
+IR, Otsu, projection-profile skew detection, nearest-neighbor rotation —
+the cv2-free reimplementation of the reference's OCR-arm image half
+(``ocr/rotation_detection.py``, ``data_extract.py:421-435``)."""
+import math
+
+import numpy as np
+import pytest
+
+from text_extraction_system_ray.config import PipelineConfig
+from text_extraction_system_ray.functions.pdf_build import build_pdf
+from text_extraction_system_ray.functions.pdf_ops import rasterize_page
+from text_extraction_system_ray.functions.raster import (
+    decode_l_image, detect_rotation_projection, encode_l_image,
+    otsu_threshold, rotate_image_array)
+from text_extraction_system_ray.functions.rotation import (
+    detect_rotation_raster, normalize_angle_90)
+from tests.test_pdf_fonts import (CMAP, DESCRIPTOR, WIDTHS_FONT,
+                                  simple_font_pdf, stream_obj)
+from tests.test_pdf_rotation_extract import _rot_content
+
+CFG = PipelineConfig()
+
+
+def test_rasterize_page_draws_char_boxes():
+    pdf = build_pdf([["Hello raster world", "second line of text"]])
+    img_bytes = rasterize_page(pdf, 1, dpi=72)
+    img = decode_l_image(img_bytes)
+    assert img.shape == (792, 612)
+    assert (img == 0).sum() > 100          # ink present
+    assert (img == 255).mean() > 0.8       # mostly paper
+    with pytest.raises(ValueError):
+        rasterize_page(pdf, 99)
+
+
+def test_otsu_threshold_bimodal():
+    img = np.full((100, 100), 250, np.uint8)
+    img[40:60, 10:90] = 10
+    t = otsu_threshold(img)
+    assert 10 <= t < 250
+
+
+def test_skew_detection_on_rotated_text():
+    """A PDF whose text object is Tm-rotated rasterizes to a skewed page;
+    the projection detector recovers the angle within 0.5 deg."""
+    for true_angle in (0.0, 7.0, -12.0):
+        body = b"\n".join(
+            _rot_content(true_angle, 80, 650 - 40 * i,
+                         b"ABCABCABCABCABCABCABCABC")
+            for i in range(6))
+        pdf = simple_font_pdf(body, WIDTHS_FONT,
+                              {6: DESCRIPTOR, 7: stream_obj(b"", CMAP)})
+        img_bytes = rasterize_page(pdf, 1, dpi=72)
+        got = detect_rotation_raster(img_bytes)
+        assert abs(got - true_angle) <= 0.5, (true_angle, got)
+
+
+def test_detect_rotation_raster_rejects_real_formats():
+    with pytest.raises(NotImplementedError):
+        detect_rotation_raster(b"\x89PNG\r\n\x1a\n" + bytes(64))
+
+
+def test_rotate_image_array_90_and_round_trip():
+    img = np.full((4, 6), 255, np.uint8)
+    img[0, 0] = 0                     # top-left marker
+    r90 = rotate_image_array(img, 90)
+    assert r90.shape == (6, 4)        # h/w swap near 90
+    # content rotated CCW: top-left moves to bottom-left
+    assert r90[5, 0] == 0
+    back = rotate_image_array(r90, -90)
+    assert back.shape == img.shape
+    assert back[0, 0] == 0
+
+
+def test_rotate_then_detect_inverts():
+    """Deskew loop: rasterize straight text, rotate the RASTER by a
+    known angle, detect, rotate back by the negated detection — the
+    reference's detect→rotate loop (``data_extract.py:305-362``)."""
+    pdf = build_pdf([[("many words in a long line of text here " * 2)
+                      for _ in range(8)]])
+    img = decode_l_image(rasterize_page(pdf, 1, dpi=72))
+    rot = rotate_image_array(img, 9.0)
+    got = detect_rotation_projection(rot)
+    assert abs(got - 9.0) <= 0.5
+    fixed = rotate_image_array(rot, -got)
+    assert abs(detect_rotation_projection(fixed)) <= 0.5
+
+
+def test_normalize_angle_90_still_frozen():
+    assert normalize_angle_90(93.0) == 3.0

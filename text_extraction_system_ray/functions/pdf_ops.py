@@ -188,10 +188,20 @@ def merge_text_layer_pdf(payload: bytes, page_texts: Dict[int, str],
                      outlines=outlines or None)
 
 
-def rasterize_page(payload: bytes, page: int, dpi: int = OCR_DPI) -> bytes:
-    """STUB — rasterization needs an image backend (pdftoppm / PDFBox
-    renderer in the reference, ``pdf/pdf.py:70-117``); none exists in this
-    environment."""
-    raise NotImplementedError(
-        "page rasterization requires an image backend (pdf2image/PDFBox); "
-        "not available in this environment")
+def rasterize_page(payload: bytes, page: int, dpi: int = OCR_DPI,
+                   cfg: PipelineConfig = DEFAULT_CONFIG) -> bytes:
+    """Render one page to a grayscale raster (M6 analog; ref
+    ``pdf/pdf.py:70-117`` rasterizes via PDFBox/pdftoppm at 300 DPI).
+
+    The engine renders its OWN layout IR — char boxes painted as ink —
+    in pure numpy (``functions/raster.rasterize_page_ir``), returning
+    FAKEIMG1 mode-L bytes. That is a real renderer for everything the
+    text parser sees (enough to drive skew detection and the OCR-arm
+    plumbing on synthetic rasters); embedded scanned *bitmaps* still
+    need an image backend in a real deployment (swap in pdf2image)."""
+    from .pdf_extract import extract_pdf
+    from .raster import encode_l_image, rasterize_page_ir
+    pages = extract_pdf(payload, cfg)
+    if not 1 <= page <= len(pages):
+        raise ValueError(f"page {page} out of range 1..{len(pages)}")
+    return encode_l_image(rasterize_page_ir(pages[page - 1], dpi=dpi))

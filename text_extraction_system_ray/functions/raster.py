@@ -1,0 +1,169 @@
+"""Raster kernels in pure numpy — the OCR arm's image half.
+
+The reference rasterizes pages via PDFBox/pdf2image, detects skew with
+cv2 (blur → Otsu → dilate → contour angles, ``ocr/rotation_detection.py:
+38-89``) and rotates with cv2.warpAffine (``data_extract.py:421-435``).
+This environment has no cv2/PIL, so those kernels are reimplemented
+directly:
+
+- :func:`rasterize_page_ir` draws a page's char boxes (and image
+  placements) into a grayscale pixel grid — a REAL renderer for the
+  engine's own layout IR, sufficient for skew detection and OCR-input
+  plumbing (a deployment swaps in pdf2image for scanned content).
+- :func:`otsu_threshold` is the textbook histogram method.
+- :func:`detect_rotation_projection` estimates text skew by maximizing
+  the variance of the sheared row-projection profile (classic
+  projection-profile deskew — same objective as the reference's
+  dilated-rows contour method, fewer moving parts).
+- :func:`rotate_image_array` / :func:`rotate_fake_image` rotate with
+  white fill and h/w swap near ±90°, mirroring the reference's
+  ``rotate_image`` semantics.
+
+Images travel as the deterministic ``FAKEIMG1`` byte format
+(:mod:`..pipelines.multimodal`), mode ``L`` — opaque binary columns in
+the pipeline, numpy arrays in the kernels.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .pdf_extract import PdfPageIR
+
+
+# --------------------------------------------------------- rasterize
+def rasterize_page_ir(page: PdfPageIR, dpi: int = 72) -> np.ndarray:
+    """Render a page IR to a grayscale array (uint8, 255=paper, 0=ink).
+    Char cells paint black at their boxes; placed images paint a light
+    gray block (ink-free, so they never masquerade as text lines)."""
+    scale = dpi / 72.0
+    W = max(1, int(round(page.width * scale)))
+    H = max(1, int(round(page.height * scale)))
+    img = np.full((H, W), 255, np.uint8)
+    for b in page.blocks:
+        for ln in b.lines:
+            for c in ln:
+                x, y, w, h = c.bbox
+                if w <= 0 or h <= 0:
+                    continue
+                c0 = int(np.clip(x * scale, 0, W))
+                c1 = int(np.clip((x + w) * scale, 0, W))
+                r0 = int(np.clip(H - (y + h) * scale, 0, H))
+                r1 = int(np.clip(H - y * scale, 0, H))
+                img[r0:max(r1, r0 + 1), c0:max(c1, c0 + 1)] = 0
+    return img
+
+
+def encode_l_image(img: np.ndarray) -> bytes:
+    """Grayscale array → FAKEIMG1 bytes (mode L, 1 channel)."""
+    from ..pipelines.multimodal import MAGIC, _HEADER
+    h, w = img.shape
+    return _HEADER.pack(MAGIC, w, h, 1, b"L\x00\x00\x00") \
+        + np.ascontiguousarray(img, np.uint8).tobytes()
+
+
+def decode_l_image(payload: bytes) -> np.ndarray:
+    """FAKEIMG1 bytes → grayscale array (multi-channel → channel mean)."""
+    from ..pipelines.multimodal import _HEADER, _decode_stub
+    m = _decode_stub(payload)
+    arr = np.frombuffer(payload[_HEADER.size:], np.uint8)
+    if m["channels"] == 1:
+        return arr.reshape(m["height"], m["width"])
+    return arr.reshape(m["height"], m["width"], m["channels"]) \
+        .mean(axis=2).astype(np.uint8)
+
+
+# -------------------------------------------------------- threshold
+def otsu_threshold(img: np.ndarray) -> int:
+    """Textbook Otsu: maximize inter-class variance over the histogram
+    (the reference applies cv2's Otsu after blur,
+    ``rotation_detection.py:56-60``)."""
+    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 127
+    omega = np.cumsum(hist) / total
+    mu = np.cumsum(hist * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    denom[denom == 0] = np.nan
+    sigma_b = (mu_t * omega - mu) ** 2 / denom
+    return int(np.nanargmax(sigma_b))
+
+
+# --------------------------------------------------- skew detection
+def _projection_score(ys: np.ndarray, xs: np.ndarray, angle: float) -> float:
+    """Variance of the row-projection profile after shearing by angle
+    (rows align → histogram gets spiky → variance peaks)."""
+    t = math.tan(math.radians(angle))
+    rows = np.rint(ys - xs * t).astype(np.int64)
+    rows -= rows.min()
+    proj = np.bincount(rows)
+    return float(np.var(proj))
+
+
+def detect_rotation_projection(img: np.ndarray,
+                               max_angle: float = 30.0) -> float:
+    """Estimate the text-line skew angle of a grayscale page raster.
+
+    Returns the angle (degrees, same sign convention as the char-angle
+    path: positive = text baselines rotated counter-clockwise in page
+    space) that the page content is rotated by; rotate by the NEGATED
+    value to deskew. Coarse 0.5° sweep then 0.05° refinement — the
+    projection-profile analog of the reference's dilated-rows method.
+    """
+    thr = otsu_threshold(img)
+    ys, xs = np.nonzero(img <= thr)
+    if len(ys) < 16:
+        return 0.0
+    # subsample for speed; deterministic stride
+    if len(ys) > 200_000:
+        step = len(ys) // 200_000 + 1
+        ys, xs = ys[::step], xs[::step]
+    ys = ys.astype(np.float64)
+    xs = xs.astype(np.float64)
+    coarse = np.arange(-max_angle, max_angle + 0.25, 0.5)
+    scores = [_projection_score(ys, xs, -a) for a in coarse]
+    best = coarse[int(np.argmax(scores))]
+    fine = np.arange(best - 0.5, best + 0.55, 0.05)
+    fscores = [_projection_score(ys, xs, -a) for a in fine]
+    return float(round(fine[int(np.argmax(fscores))], 2))
+
+
+# ------------------------------------------------------------ rotate
+def rotate_image_array(img: np.ndarray, angle: float,
+                       fill: int = 255) -> np.ndarray:
+    """Nearest-neighbor rotation with white fill; output canvas swaps
+    h/w near ±90° like the reference's ``rotate_image``
+    (``data_extract.py:421-435``). Positive angle rotates the CONTENT
+    counter-clockwise (image coordinates)."""
+    h, w = img.shape[:2]
+    a = math.radians(angle)
+    near_90 = abs((abs(angle) % 180) - 90) < 45
+    if near_90:
+        out_h, out_w = w, h
+    else:
+        out_h, out_w = h, w
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ocy, ocx = (out_h - 1) / 2.0, (out_w - 1) / 2.0
+    rr, cc = np.meshgrid(np.arange(out_h), np.arange(out_w),
+                         indexing="ij")
+    # inverse map: output pixel → source pixel. Sign calibrated so that
+    # detect_rotation_projection(rotate_image_array(img, a)) == a — the
+    # detect→rotate(-a) deskew loop composes correctly.
+    dy = rr - ocy
+    dx = cc - ocx
+    src_r = np.rint(cy + dy * math.cos(a) + dx * math.sin(a)).astype(int)
+    src_c = np.rint(cx - dy * math.sin(a) + dx * math.cos(a)).astype(int)
+    valid = (src_r >= 0) & (src_r < h) & (src_c >= 0) & (src_c < w)
+    out = np.full((out_h, out_w), fill, img.dtype)
+    out[valid] = img[src_r[valid], src_c[valid]]
+    return out
+
+
+def rotate_fake_image(payload: bytes, angle: float) -> bytes:
+    """FAKEIMG1 (mode L) bytes → rotated bytes (M13 analog)."""
+    img = decode_l_image(payload)
+    return encode_l_image(rotate_image_array(img, angle))

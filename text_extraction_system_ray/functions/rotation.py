@@ -113,11 +113,23 @@ def osd_accept(script_conf: float, orientation_conf: float) -> bool:
     return script_conf > 1.0 and orientation_conf > 3.0
 
 
-def detect_rotation_raster(image_bytes: bytes, method: str = "dilated_rows"):
-    """STUB — raster rotation detection (deskew / tiled deskew /
-    blur→Otsu→dilate→contours pipelines, ``rotation_detection.py:38-126``)
-    requires cv2/PIL, absent in this environment. The char-box-based
-    detectors above cover born-digital documents."""
-    raise NotImplementedError(
-        "raster rotation detection requires cv2/PIL (not in this env); "
-        "use cluster_angles/shift_trend_vote over char boxes instead")
+def detect_rotation_raster(image_bytes: bytes,
+                           method: str = "projection") -> float:
+    """Raster skew detection over engine-format grayscale images.
+
+    The reference's pipelines (deskew lib / tiled deskew / blur→Otsu→
+    dilate→contour angles, ``rotation_detection.py:38-126``) need
+    cv2/PIL; this environment reimplements the same objective in pure
+    numpy — Otsu threshold + sheared projection-profile variance
+    maximization (``functions/raster.detect_rotation_projection``) —
+    over FAKEIMG1 mode-L rasters (as produced by
+    ``pdf_ops.rasterize_page``). Real encoded image formats (PNG/JPEG)
+    still raise NotImplementedError until an image backend is swapped
+    in; char-box detectors above cover born-digital documents."""
+    from ..pipelines.multimodal import MAGIC
+    if not (image_bytes or b"").startswith(MAGIC):
+        raise NotImplementedError(
+            "raster rotation detection on encoded images requires cv2/PIL "
+            "(not in this env); engine FAKEIMG1 rasters are supported")
+    from .raster import decode_l_image, detect_rotation_projection
+    return detect_rotation_projection(decode_l_image(image_bytes))

@@ -55,13 +55,32 @@ class OcrPages:
     """map_batches actor: for extracted rows whose ``needs_ocr_pages`` is
     non-empty, re-split the original payload per page and OCR those pages.
     Input batch needs columns: url, html (original payload),
-    needs_ocr_pages. Output: adds ``ocr_pages``."""
+    needs_ocr_pages. Output: adds ``ocr_pages``.
+
+    ``deskew=True`` runs the reference's detect→rotate arm per page
+    (``process_pdf_page``, ``data_extract.py:305-362``) with the
+    engine's raster kernels: rasterize the page (real renderer over the
+    layout IR), projection-profile skew detection, nearest-neighbor
+    counter-rotation of the raster fed to the backend; the detected
+    angle rides in the output struct (feeds ``attach_searchable_pdf``'s
+    ``page_angles``, the ``{page:05}.angle.pdf`` analog)."""
 
     def __init__(self, backend: Optional[OcrBackend] = None,
-                 cfg: Optional[PipelineConfig] = None, language: str = ""):
+                 cfg: Optional[PipelineConfig] = None, language: str = "",
+                 deskew: bool = False, min_deskew_angle: float = 0.5):
         self.backend = backend or FakeOcrBackend()
         self.cfg = cfg or DEFAULT_CONFIG
         self.language = language
+        self.deskew = deskew
+        self.min_deskew_angle = min_deskew_angle
+
+    def _page_angle(self, page_pdf: bytes) -> float:
+        from ..functions.pdf_ops import rasterize_page
+        from ..functions.raster import (decode_l_image,
+                                        detect_rotation_projection)
+        img = decode_l_image(rasterize_page(page_pdf, 1, dpi=72,
+                                            cfg=self.cfg))
+        return detect_rotation_projection(img)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: List[list] = []
@@ -73,17 +92,26 @@ class OcrPages:
                 try:
                     chunks = dict(split_pdf_to_page_pdfs(payload, self.cfg))
                     for page_no in need:
-                        if page_no in chunks:
-                            results.append({
-                                "page": page_no,
-                                "text": self.backend.ocr_page(
-                                    chunks[page_no], self.language),
-                            })
+                        if page_no not in chunks:
+                            continue
+                        rec = {"page": page_no,
+                               "text": self.backend.ocr_page(
+                                   chunks[page_no], self.language)}
+                        if self.deskew:
+                            try:
+                                a = self._page_angle(chunks[page_no])
+                            except Exception:   # noqa: BLE001
+                                a = 0.0
+                            rec["angle"] = (a if abs(a) >=
+                                            self.min_deskew_angle else 0.0)
+                        results.append(rec)
                 except Exception:   # noqa: BLE001 — OCR failure ≠ row failure
                     results = []
             out.append(results)
-        typ = pa.list_(pa.struct([("page", pa.int32()),
-                                  ("text", pa.string())]))
+        fields = [("page", pa.int32()), ("text", pa.string())]
+        if self.deskew:
+            fields.append(("angle", pa.float64()))
+        typ = pa.list_(pa.struct(fields))
         return batch.append_column("ocr_pages", pa.array(out, typ))
 
 
@@ -106,7 +134,9 @@ def attach_searchable_pdf(batch: pa.Table,
             continue
         try:
             out.append(merge_text_layer_pdf(
-                payload, {r["page"]: r["text"] for r in ocr}, cfg))
+                payload, {r["page"]: r["text"] for r in ocr}, cfg,
+                page_angles={r["page"]: r["angle"] for r in ocr
+                             if r.get("angle")}))
         except Exception:   # noqa: BLE001 — artifact failure ≠ row failure
             out.append(None)
     return batch.append_column("searchable_pdf",
