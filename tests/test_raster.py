@@ -88,3 +88,23 @@ def test_rotate_then_detect_inverts():
 
 def test_normalize_angle_90_still_frozen():
     assert normalize_angle_90(93.0) == 3.0
+
+
+def test_orientation_probe_upright_vs_rotated():
+    """OSD-probe analog (M16): banded row projections mark upright text;
+    a 90-rotated raster flips the verdict; confidence gates via
+    osd_accept like the reference's rule."""
+    from text_extraction_system_ray.functions.raster import (
+        detect_orientation_raster)
+    from text_extraction_system_ray.functions.rotation import osd_accept
+    pdf = build_pdf([[("text line with words " * 3) for _ in range(10)]])
+    img = decode_l_image(rasterize_page(pdf, 1, dpi=72))
+    o0, c0 = detect_orientation_raster(img)
+    assert o0 == 0 and c0 > 3.0
+    assert osd_accept(2.0, c0)
+    o90, c90 = detect_orientation_raster(rotate_image_array(img, 90))
+    assert o90 == 90 and c90 > 3.0
+    # blank page: no text → zero confidence, rejected
+    ob, cb = detect_orientation_raster(
+        np.full((100, 100), 255, np.uint8))
+    assert cb == 0.0 and not osd_accept(2.0, cb)

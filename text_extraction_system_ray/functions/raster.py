@@ -90,6 +90,8 @@ def otsu_threshold(img: np.ndarray) -> int:
     denom = omega * (1.0 - omega)
     denom[denom == 0] = np.nan
     sigma_b = (mu_t * omega - mu) ** 2 / denom
+    if np.isnan(sigma_b).all():     # constant image: no two classes
+        return 127
     return int(np.nanargmax(sigma_b))
 
 
@@ -167,3 +169,36 @@ def rotate_fake_image(payload: bytes, angle: float) -> bytes:
     """FAKEIMG1 (mode L) bytes → rotated bytes (M13 analog)."""
     img = decode_l_image(payload)
     return encode_l_image(rotate_image_array(img, angle))
+
+
+# ------------------------------------------------- orientation probe
+def detect_orientation_raster(img: np.ndarray) -> Tuple[int, float]:
+    """Coarse page orientation (0 or ±90) with a confidence score — the
+    engine's analog of the tesseract ``--psm 0`` OSD probe (ref
+    ``ocr/ocr.py:28-77``; acceptance rule ``orientation_and_script_
+    detected_in_osd``, gated by :func:`..functions.rotation.osd_accept`).
+
+    Text pages have strongly banded ROW projections and smoother column
+    projections; a ±90-rotated page flips that. The orientation score =
+    ratio of the winning axis's projection variance to the other's
+    (180° is indistinguishable from 0° without glyph-shape knowledge —
+    exactly why the reference leans on tesseract there; the char-shift
+    vote ``rotation.shift_trend_vote`` covers 180° for born-digital
+    pages). Returns (orientation_degrees ∈ {0, 90}, confidence ratio);
+    feed the confidence to ``osd_accept`` as orientation_conf."""
+    thr = otsu_threshold(img)
+    binary = img <= thr
+    if binary.sum() < 16:
+        return 0, 0.0
+    rows = binary.sum(axis=1).astype(np.float64)
+    cols = binary.sum(axis=0).astype(np.float64)
+
+    def _band_score(p: np.ndarray) -> float:
+        m = p.mean()
+        return float(np.var(p) / (m * m + 1e-9))
+
+    r_score = _band_score(rows)
+    c_score = _band_score(cols)
+    if r_score >= c_score:
+        return 0, round(r_score / (c_score + 1e-9), 3)
+    return 90, round(c_score / (r_score + 1e-9), 3)
