@@ -82,3 +82,46 @@ def test_sentence_spans_bounds(text):
     for s, e in sentence_spans(text):
         assert 0 <= s < e <= len(text)
         assert not text[s].isspace() and not text[e - 1].isspace()
+
+
+def test_mutated_font_pdfs_never_crash():
+    """r2 surface fuzz: random byte mutations / truncations of valid
+    real-font PDFs (Widths, ToUnicode CMaps, Flate/A85/LZW streams,
+    rotated Tm) must always produce a row — ok or error, never an
+    exception, always deterministic."""
+    import random
+
+    from text_extraction_system_ray.functions.pdf_fontgen import (
+        build_realfont_pdf)
+    from tests.test_pdf_fonts import (CMAP, DESCRIPTOR, WIDTHS_FONT,
+                                      simple_font_pdf, stream_obj)
+
+    rng = random.Random(1234)
+    bases = [
+        build_realfont_pdf("fuzz target text with several words", seed=s)
+        for s in range(4)
+    ] + [simple_font_pdf(b"BT /F5 10 Tf 72 700 Td (ABC) Tj ET",
+                         WIDTHS_FONT,
+                         {6: DESCRIPTOR, 7: stream_obj(b"", CMAP)})]
+    n_ok = n_err = 0
+    for i in range(300):
+        base = bytearray(bases[i % len(bases)])
+        mode = i % 3
+        if mode == 0:     # byte flips
+            for _ in range(rng.randrange(1, 8)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            payload = bytes(base)
+        elif mode == 1:   # truncation
+            payload = bytes(base[:rng.randrange(16, len(base))])
+        else:             # splice of two PDFs
+            other = bases[(i + 1) % len(bases)]
+            cut = rng.randrange(len(base))
+            payload = bytes(base[:cut]) + other[cut % len(other):]
+        r1 = extract_row(f"fz{i}", payload)
+        r2 = extract_row(f"fz{i}", payload)
+        assert r1["status"] in ("ok", "error")
+        assert r1["text"] == r2["text"]            # deterministic
+        assert len(r1["char_spans"]) == len(r1["text"])
+        n_ok += r1["status"] == "ok"
+        n_err += r1["status"] == "error"
+    assert n_ok > 0 and n_err > 0    # fuzz hit both paths
