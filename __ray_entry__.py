@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray.data
 
 from text_extraction_system_ray.pipelines import ann as _ann
+from text_extraction_system_ray.pipelines import curate as _curate
 from text_extraction_system_ray.pipelines import fontcheck as _fontcheck
 from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import multimodal as _mm
@@ -109,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real-font PDF decode round-trip (Widths/ToUnicode/filters;
         # oracle = the SOURCE text, so the decode path is SQL-checked)
         "realfont_roundtrip": _fontcheck.realfont_roundtrip,
+        # flagship C4-style curation composition (quality gate → exact
+        # dedup → near-dup removal), SQL-checked end-to-end
+        "curate_corpus": _curate.curate_corpus,
         # flagship extraction (non-SQL: DOM/PDF parse + segmentation)
         "extract_pages": _extract_summary,
     }
@@ -337,6 +341,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        "curate_corpus": """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                           i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               END AS grams
+        FROM tok
+    ), gr AS (
+        SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), drops AS (
+        SELECT DISTINCT doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+    ), q AS (
+        SELECT d.doc_id, d.lang, md5(d.text) AS text_hash,
+               CASE WHEN len(t.w) = 0 THEN 0.0
+                    ELSE ROUND(len(list_filter(t.w,
+                        x -> x IN ('the','a','of','and','to','in','is',
+                                   'for','on','with')))
+                        * 1.0 / len(t.w), 4) END AS stop_ratio,
+               ROUND(LEAST(1.0, len(t.w) / 50.0), 4) AS len_score
+        FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+    ), gated AS (
+        SELECT doc_id, text_hash,
+               ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
+        FROM q
+        WHERE ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) >= 0.5
+          AND lang = 'en'
+    ), keepers AS (
+        SELECT min(doc_id) AS doc_id, min(quality) AS quality
+        FROM gated GROUP BY text_hash
+    )
+    SELECT doc_id, quality FROM keepers
+    WHERE doc_id NOT IN (SELECT doc_b FROM drops)
         """,
         "realfont_roundtrip": """
             -- engine writes each doc's normalized text into a

@@ -68,7 +68,7 @@ def test_all_queries_run(entrymod):
     "dedup_minhash_candidates", "dedup_minhash_neardups",
     "dedup_ngram_jaccard", "realfont_roundtrip",
     "image_metadata_summary", "image_resize_summary",
-    "video_frame_sample", "audio_metadata_summary",
+    "video_frame_sample", "audio_metadata_summary", "curate_corpus",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))
