@@ -215,3 +215,27 @@ def test_image_features_deterministic(ray_session):
     a = df.sort_values("doc_id").reset_index(drop=True)
     b = df2.sort_values("doc_id").reset_index(drop=True)
     assert (a["channel_means"].astype(str) == b["channel_means"].astype(str)).all()
+
+
+def test_neardup_union_find_clusters():
+    from text_extraction_system_ray.pipelines.curate import neardup_clusters
+    pairs = pd.DataFrame({"doc_a": [1, 2, 10, 20], "doc_b": [2, 3, 11, 21]})
+    cl = neardup_clusters(pairs)
+    m = dict(zip(cl["doc_id"], cl["cluster_min"]))
+    # transitive: 1-2-3 all collapse to 1 even without a (1,3) pair
+    assert m[1] == m[2] == m[3] == 1
+    assert m[10] == m[11] == 10
+    assert m[20] == m[21] == 20
+
+
+def test_curate_pipeline_stages_behave(ray_session, dup_dir):
+    """Curation over the planted-dup corpus: exact dups collapse to one
+    keeper, the near-dup partner of the keeper is dropped."""
+    from text_extraction_system_ray.pipelines.curate import curate_corpus
+    kept = curate_corpus(dup_dir, min_quality=0.0, lang="en",
+                         jaccard_threshold=0.5)
+    ids = set(kept["doc_id"])
+    assert 100 in ids            # cluster representative survives
+    assert 101 not in ids        # exact dup of 100
+    assert 102 not in ids        # exact dup of 100
+    assert 103 not in ids        # near dup (one-word diff)

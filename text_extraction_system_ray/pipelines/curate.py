@@ -98,3 +98,30 @@ def curate_corpus(sf_dir: str, min_quality: float = 0.5,
         .to_pandas()
     return kept[["doc_id", "quality"]].sort_values("doc_id") \
         .reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def neardup_clusters(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over verified near-dup pairs → (doc_id, cluster_min).
+    The transitive alternative to the pair-wise drop rule: keep only
+    rows where doc_id == cluster_min (cluster representative). Pairs
+    are O(duplicates), tiny relative to the corpus, so the union-find
+    runs wherever the pair list lands (driver here; a map_groups over
+    hash-partitioned edges at extreme scale)."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]     # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = sorted((d, find(d)) for d in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_min"]) \
+        .astype({"doc_id": "int64", "cluster_min": "int64"})

@@ -221,12 +221,18 @@ def lineitem_orders_join_native(sf_dir: str) -> pd.DataFrame:
     at-scale plan (and the engine-capability demo of a true fact⋈fact
     shuffle join), with pre-projection on the read and post-join partial
     aggregation."""
+    import pyarrow.parquet as pq
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=16,
+    # partition count sized to the build side (~500k rows/partition):
+    # fixed 16 partitions cost ~16 aggregator actors of overhead even on
+    # tiny inputs; at scale the count grows with the data
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    n_parts = int(min(64, max(2, n_rows // 500_000 + 2)))
+    joined = li.join(orders, join_type="inner", num_partitions=n_parts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
