@@ -233,9 +233,42 @@ def multinode() -> None:
     }))
 
 
+def scaling_nodes() -> None:
+    """THE north-rule measurement run literally: the same job on a
+    1-node and a 4-node simulated cluster (same per-node CPU count,
+    separate object stores per node), fresh process per level.
+    ``--scaling-nodes [cpus_per_node]`` (default 2 — both cluster sizes
+    then sit inside the host's linear region; larger per-node counts
+    push the 4-node level into the host memory ceiling that
+    BASELINE.md's no-Ray control documents)."""
+    idx = sys.argv.index("--scaling-nodes")
+    cpus_per = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 2
+    results = {}
+    for n_nodes in (1, 4):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--multinode",
+             str(n_nodes), str(cpus_per)],
+            env=dict(os.environ), capture_output=True, text=True,
+            check=True).stdout
+        results[n_nodes] = json.loads(out.strip().splitlines()[-1])
+        log(f"[scaling-nodes] {n_nodes}x{cpus_per}: "
+            f"{results[n_nodes]['value']}s")
+    t1, t4 = results[1]["value"], results[4]["value"]
+    print(json.dumps({
+        "metric": f"node_scaling_1_to_4_nodes_x{cpus_per}cpu",
+        "sec_1node": t1, "sec_4node": t4,
+        "rows_per_s_1node": results[1]["rows_per_s"],
+        "rows_per_s_4node": results[4]["rows_per_s"],
+        "scaling_efficiency": round((t1 / t4) / 4.0, 3),
+        "rows": results[4]["rows"], "sf": SF_DIR,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--scaling-nodes" in sys.argv:
+        scaling_nodes()
     elif "--multinode" in sys.argv:
         multinode()
     else:
