@@ -139,3 +139,18 @@ def test_pdf_outlines_toc():
 def test_pdf_no_outlines_empty_toc():
     r = extract_row("u", build_pdf([["plain page"]]))
     assert r["toc"] == []
+
+
+def test_stream_data_indirect_length_multidigit_objnum():
+    """ADVICE r2 (high): ``/Length 12 0 R`` must not backtrack-match
+    group(1)='1' and truncate the stream to 1 byte — indirect Lengths
+    fall back to the lazy endstream scan."""
+    from text_extraction_system_ray.functions.pdf_extract import _stream_data
+    body = b"<< /Length 12 0 R >>\nstream\nBT (hello) Tj ET\nendstream"
+    assert _stream_data(body) == b"BT (hello) Tj ET"
+    # declared length not landing at endstream -> lazy scan, not trust
+    assert _stream_data(b"<< /Length 3 >>\nstream\nHello\nendstream") \
+        == b"Hello"
+    # correct declared length wins (binary data ending in CR/LF kept)
+    assert _stream_data(b"<< /Length 7 >>\nstream\nHello\r\n\nendstream") \
+        == b"Hello\r\n"

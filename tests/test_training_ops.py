@@ -68,6 +68,31 @@ def test_simhash_finds_neardups(ray_session, dup_dir):
     assert all(a >= 100 for a, b in got)
 
 
+def test_minhash_small_verify_fetches_candidates_only(ray_session, dup_dir):
+    """Scale guard (VERDICT r2 #1): the small-path verify must ship only
+    the CANDIDATE docs' shingle sets to the driver — never the whole
+    corpus — and the fetch must be byte-measured."""
+    _dedup._last_small_verify_stats.clear()
+    _dedup.minhash_neardups(dup_dir, threshold=0.5)
+    stats = _dedup._last_small_verify_stats
+    assert stats, "small-path verify did not record fetch stats"
+    # 44 docs total; only the 4 planted dups are LSH candidates
+    assert stats["fetched_rows"] == stats["candidate_docs"]
+    assert stats["candidate_docs"] <= 6
+    assert 0 < stats["shingle_bytes"] <= _dedup.SMALL_VERIFY_SHINGLE_BYTE_LIMIT
+
+
+def test_minhash_small_verify_byte_guard_falls_through(ray_session, dup_dir,
+                                                       monkeypatch):
+    """When even candidate shingle sets exceed the byte guard, the
+    verify stays distributed — and produces the same answer."""
+    expected = _dedup.minhash_neardups(dup_dir, threshold=0.5)
+    monkeypatch.setattr(_dedup, "SMALL_VERIFY_SHINGLE_BYTE_LIMIT", 1)
+    got = _dedup.minhash_neardups(dup_dir, threshold=0.5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expected.reset_index(drop=True))
+
+
 def test_ngram_jaccard_matches_minhash_verify(ray_session, dup_dir):
     pairs = _dedup.ngram_jaccard_pairs(dup_dir, threshold=0.5)
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))

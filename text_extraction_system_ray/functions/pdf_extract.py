@@ -161,12 +161,20 @@ def _stream_data(body: bytes) -> Optional[bytes]:
     if not m:
         return None
     start = m.end()
-    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body[:m.start()])
+    # (?!\d) stops backtracking from splitting digits: without it,
+    # b"/Length 12 0 R" matches group(1)='1' (indirect ref with a
+    # multi-digit object number) and silently truncates the stream.
+    lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", body[:m.start()])
     if lm:
         ln = int(lm.group(1))
         data = body[start:start + ln]
-        if len(data) == ln and body.find(b"endstream", start + ln) >= 0:
-            return data
+        # Trust the declared length only if it lands exactly at an
+        # ``endstream`` (nothing but EOL whitespace in between);
+        # otherwise fall back to the lazy scan.
+        if len(data) == ln:
+            tail = body[start + ln:start + ln + 16]
+            if re.match(rb"[\r\n \t]{0,4}endstream", tail):
+                return data
     sm = _STREAM_RE.search(body)
     return sm.group(1) if sm else None
 

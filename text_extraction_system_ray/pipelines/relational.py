@@ -36,6 +36,23 @@ from .util import round_half_up, scaled_int
 _SHIP_CUTOFF = dt.datetime(1998, 9, 2)
 
 
+def _probe_sorted(keys: np.ndarray, codes: np.ndarray,
+                  probe: np.ndarray) -> tuple:
+    """Missing-key-safe broadcast-join probe (ADVICE r2): look up each
+    ``probe`` key in the sorted ``keys`` array, returning ``(code, ok)``
+    where ``ok`` masks probes actually present on the build side.
+
+    A bare ``codes[searchsorted(keys, p)]`` silently reads the wrong
+    slot for an absent key (and raises for p > max(keys)); inner-join
+    semantics require dropping those rows, which only held before by
+    TPC-H referential integrity. Callers filter on ``ok``."""
+    idx = np.searchsorted(keys, probe)
+    idx_c = np.minimum(idx, len(keys) - 1) if len(keys) else idx
+    ok = (idx < len(keys)) & (keys[idx_c] == probe) if len(keys) \
+        else np.zeros(len(probe), bool)
+    return codes[idx_c], ok
+
+
 # ---------------------------------------------------------------- Q1-style
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """Grouped aggregate with per-batch partial aggregation (combiner)."""
@@ -111,8 +128,9 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 ck = t["o_custkey"].to_numpy()
-                nk = self.codes[np.searchsorted(self.keys, ck)]
-                price_c = scaled_int(t["o_totalprice"].to_numpy(), 2)
+                nk, ok = _probe_sorted(self.keys, self.codes, ck)
+                nk = nk[ok]
+                price_c = scaled_int(t["o_totalprice"].to_numpy()[ok], 2)
                 g = pd.DataFrame({"nk": nk, "price_c": price_c}) \
                     .groupby("nk", as_index=False) \
                     .agg(price_c=("price_c", "sum"),
@@ -193,10 +211,11 @@ def lineitem_orders_join(sf_dir: str) -> pd.DataFrame:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             lk = t["l_orderkey"].to_numpy()
-            code = self.codes[np.searchsorted(self.keys, lk)]
+            code, ok = _probe_sorted(self.keys, self.codes, lk)
+            code = code[ok]
             rev_c = scaled_int(
-                t["l_extendedprice"].to_numpy()
-                * (1.0 - t["l_discount"].to_numpy()), 6)
+                t["l_extendedprice"].to_numpy()[ok]
+                * (1.0 - t["l_discount"].to_numpy()[ok]), 6)
             g = pd.DataFrame({"code": code, "rev_c": rev_c}) \
                 .groupby("code", as_index=False) \
                 .agg(rev_c=("rev_c", "sum"), n_items=("rev_c", "size"))
