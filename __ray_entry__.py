@@ -84,9 +84,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup.exact_dedup,                  # SQL-checked
         "dedup_minhash_candidates": _dedup.minhash_candidates,
         "dedup_minhash_neardups": _dedup.minhash_neardups,
+        # SQL-checked end-to-end: the md5-low64 token hash makes the
+        # simhash itself DuckDB-computable, so the oracle independently
+        # recomputes signatures AND the full Hamming<=3 pair set
         "dedup_simhash": _dedup.simhash_neardups,
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,
-        # text analysis (token/stats/quality SQL-checked)
+        # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
         "quality_score": _ts.quality_score,
@@ -94,9 +97,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _ts.fingerprint,
         # similarity search
         "ann_cosine_topk": _ann.cosine_topk,                # SQL-checked
-        "ann_lsh_topk": _ann.lsh_cosine_topk,
-        "ann_ivf_topk": _ann.ivf_cosine_topk,
-        "ann_ivf_index_topk": _ann.ivf_index_topk,
+        # approximate methods emit per-query recall-vs-exact floored at
+        # the bar (oracle = the constant bar), so the driver hash-match
+        # IS the recall gate (VERDICT r2 item 3); raw top-k rows remain
+        # the library API (ann.lsh_cosine_topk etc.) and stay
+        # recall-pinned in pytest
+        "ann_lsh_topk": _ann.lsh_recall_vs_exact,
+        "ann_ivf_topk": _ann.ivf_recall_vs_exact,
+        "ann_ivf_index_topk": _ann.ivf_index_recall_vs_exact,
         "embedding_neardups": _ann.embedding_neardup_pairs,  # SQL-checked
         # multimodal plumbing (deterministic fake codecs, real dataflow;
         # the *_summary projections are SQL-checked against doc_id
@@ -301,6 +309,45 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL.format(
             select="doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard",
             threshold=0.5),
+        # independent SQL recomputation of the 64-bit simhash (md5-low64
+        # token hash, frequency-weighted bit votes, majority rule
+        # 2*votes > n_tokens) and the full Hamming<=3 pair set — checks
+        # signature math AND LSH-banding completeness (3 flipped bits
+        # can't touch all four 16-bit bands)
+        "dedup_simhash": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS w
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2
+            ), th AS (
+                SELECT doc_id, cnt,
+                       CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT)
+                           AS h
+                FROM tc
+            ), tot AS (
+                SELECT doc_id, SUM(cnt) AS n FROM th GROUP BY 1
+            ), bits AS (
+                SELECT doc_id, bb.b AS b,
+                       SUM(cnt * CAST((h >> bb.b) & 1 AS BIGINT)) AS v
+                FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+                GROUP BY 1, 2
+            ), sh AS (
+                SELECT bits.doc_id,
+                       CAST(SUM(CASE WHEN 2 * v > t.n
+                                     THEN CAST(1 AS UBIGINT) << b
+                                     ELSE 0 END) AS UBIGINT) AS s
+                FROM bits JOIN tot t ON t.doc_id = bits.doc_id
+                GROUP BY 1
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.s, b.s)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
         "token_count": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -341,6 +388,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        # independent SQL recomputation of the md5 winnowing fingerprint:
+        # word-8-gram md5-low64 hashes → 4 smallest → md5 of their
+        # comma-joined decimal values (first 16 hex chars)
+        "fingerprint": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+')
+                       END AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) <= 7 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(
+                                            list_slice(t, i, i + 7), ' '))
+                       END AS grams
+                FROM toks
+            ), h AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(gram), 1, 16))
+                            AS UBIGINT) AS h
+                FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+            )
+            SELECT doc_id,
+                   substr(md5(array_to_string(list_transform(
+                       list_sort(list(h))[1:4],
+                       x -> CAST(x AS VARCHAR)), ',')), 1, 16)
+                       AS fingerprint,
+                   count(*) AS n_shingles
+            FROM h GROUP BY doc_id
         """,
         "curate_corpus": """
     WITH tok AS (
@@ -407,8 +487,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 8 + (doc_id % 5) * 4 END AS width,
                    CASE WHEN doc_id % 17 = 5 THEN 0
                         ELSE 8 + (doc_id % 3) * 4 END AS height,
-                   CASE WHEN doc_id % 17 = 5 THEN 0 ELSE 3 END AS channels,
-                   CASE WHEN doc_id % 17 = 5 THEN '' ELSE 'RGB' END AS mode
+                   CASE WHEN doc_id % 17 = 5 THEN 0
+                        WHEN doc_id % 17 = 11 THEN 1 ELSE 3 END AS channels,
+                   CASE WHEN doc_id % 17 = 5 THEN ''
+                        WHEN doc_id % 17 = 11 THEN 'L'
+                        ELSE 'RGB' END AS mode
             FROM documents
         """,
         "image_resize_summary": """
@@ -450,6 +533,25 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
                          vec_id) <= 10
+        """,
+        # recall gates: the Ray side computes per-query recall of the
+        # approximate method against the exact top-k and floors it at
+        # the bar; the oracle emits the constant bar per query — the
+        # hash matches iff every query's recall meets the bar
+        "ann_lsh_topk": f"""
+            SELECT vec_id AS query_id, 10 AS k,
+                   {_ann.LSH_RECALL_BAR} AS recall_floor
+            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        "ann_ivf_topk": f"""
+            SELECT vec_id AS query_id, 10 AS k,
+                   {_ann.IVF_RECALL_BAR} AS recall_floor
+            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        "ann_ivf_index_topk": f"""
+            SELECT vec_id AS query_id, 10 AS k,
+                   {_ann.IVF_RECALL_BAR} AS recall_floor
+            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
         """,
         "embedding_neardups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -88,3 +88,55 @@ def test_orphan_keys_match_inner_join_oracle(ray_session, dirty_dir,
     want = dirty_ddb.execute(__ray_entry__.oracle_sql()[name]).fetchdf()
     pd.testing.assert_frame_equal(_norm(got), _norm(want),
                                   check_dtype=False)
+
+
+def test_sessionize_hot_key_bounded_groups(ray_session, tmp_path):
+    """VERDICT r2 item 10: one user owning most of the events must not
+    defeat sessionize — the (user, time-bucket) partial stage bounds any
+    single group to one bucket's events, and the stitched result equals
+    the single-pass oracle."""
+    import datetime as dt
+    from text_extraction_system_ray.pipelines.relational import (
+        events_sessionize)
+    rng = np.random.RandomState(3)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hot user 1: 20k events over 12 days, mixed gaps
+    t = base
+    for i in range(20_000):
+        t += dt.timedelta(seconds=int(rng.choice([20, 40, 2400])))
+        rows.append((1, eid, t, float(i % 7))); eid += 1
+    # normal users
+    for u in range(2, 12):
+        t = base
+        for i in range(30):
+            t += dt.timedelta(minutes=int(rng.randint(1, 90)))
+            rows.append((u, eid, t, 1.5)); eid += 1
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+
+    got = events_sessionize(str(d))
+    import __ray_entry__
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{d}/events.parquet'")
+    want = con.execute(__ray_entry__.oracle_sql()["events_sessionize"]) \
+        .fetchdf()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        if str(g[c].dtype).startswith("datetime"):
+            g[c] = g[c].astype("datetime64[us]")
+            w[c] = w[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+    # the partial stage groups by (user, 24h bucket): the hot user's
+    # largest group is one day's events, far below their 20k total
+    day = df["ts"].astype("datetime64[ns]").astype("int64") // (24 * 3600 * 10**9)
+    max_group = df.groupby([df["user_id"], day]).size().max()
+    assert max_group < 20_000 / 4

@@ -222,4 +222,44 @@ def test_ocr_arm_deskew_detects_page_angle():
     rows = out.column("ocr_pages")[0].as_py()
     assert len(rows) == 1
     assert abs(rows[0]["angle"] - 8.0) <= 0.6
-    assert rows[0]["text"].startswith("[ocr:")
+    assert rows[0]["text"].startswith("[ocr-raster:")
+
+
+def test_merge_preserves_mixed_media_and_image_names():
+    """ADVICE r2 (low): a mixed-page-size original keeps per-page
+    geometry through the merge rebuild, and image XObjects under
+    non-/Im1 names keep resolving (has_image / needs-OCR survives)."""
+    from text_extraction_system_ray.config import PipelineConfig
+    from text_extraction_system_ray.functions.pdf_build import build_pdf
+    from text_extraction_system_ray.functions.pdf_extract import (
+        extract_pdf, page_needs_ocr)
+    from text_extraction_system_ray.functions.pdf_ops import (
+        get_page_images_amount, merge_text_layer_pdf, remove_text_layer)
+
+    cfg = PipelineConfig()
+    # page 1: 612x792 text; page 2: 300x400 image page whose XObject is
+    # named /ImG7 and drawn by the raw content stream
+    raw2 = b"q 200 0 0 200 40 100 cm /ImG7 Do Q"
+    original = build_pdf(
+        [["Letter sized text."], []],
+        media_box=[(612.0, 792.0), (300.0, 400.0)],
+        image_pages=[2], image_names={2: ["ImG7"]},
+        raw_contents=[None, raw2])
+    pages = extract_pdf(original, cfg)
+    assert (pages[0].width, pages[0].height) == (612.0, 792.0)
+    assert (pages[1].width, pages[1].height) == (300.0, 400.0)
+    assert [page_needs_ocr(p) for p in pages] == [False, True]
+    assert get_page_images_amount(original, cfg) == 1
+
+    merged = merge_text_layer_pdf(original, {2: "ocr text"}, cfg)
+    mp = extract_pdf(merged, cfg)
+    assert (mp[0].width, mp[0].height) == (612.0, 792.0)
+    assert (mp[1].width, mp[1].height) == (300.0, 400.0)
+    assert get_page_images_amount(merged, cfg) == 1
+
+    # remove_text_layer keeps geometry + image resources too
+    stripped = remove_text_layer(original, cfg)
+    sp = extract_pdf(stripped, cfg)
+    assert (sp[1].width, sp[1].height) == (300.0, 400.0)
+    assert get_page_images_amount(stripped, cfg) == 1
+    assert page_needs_ocr(sp[1])

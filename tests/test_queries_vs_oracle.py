@@ -69,6 +69,10 @@ def test_all_queries_run(entrymod):
     "dedup_ngram_jaccard", "realfont_roundtrip",
     "image_metadata_summary", "image_resize_summary",
     "video_frame_sample", "audio_metadata_summary", "curate_corpus",
+    # r3 additions: simhash recomputed independently in SQL; ANN recall
+    # gates (oracle = the constant bar per query)
+    "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index_topk",
+    "fingerprint",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

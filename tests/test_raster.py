@@ -55,9 +55,83 @@ def test_skew_detection_on_rotated_text():
         assert abs(got - true_angle) <= 0.5, (true_angle, got)
 
 
-def test_detect_rotation_raster_rejects_real_formats():
+def test_detect_rotation_raster_rejects_unsupported_formats():
+    # JPEG is still env-gated; malformed PNG is a decode error, not a gate
     with pytest.raises(NotImplementedError):
+        detect_rotation_raster(b"\xff\xd8\xff\xe0" + bytes(64))
+    with pytest.raises(ValueError):
         detect_rotation_raster(b"\x89PNG\r\n\x1a\n" + bytes(64))
+
+
+def test_png_codec_roundtrip_all_shapes():
+    from text_extraction_system_ray.functions.png import (decode_png,
+                                                          encode_png)
+    rng = np.random.RandomState(1)
+    for shape in [(13, 17), (9, 5, 3), (7, 11, 4), (6, 8, 2)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        b = decode_png(encode_png(a))
+        assert b.shape == a.shape and (a == b).all()
+
+
+def test_png_decode_all_filter_types():
+    """Hand-encode one row per filter type (None/Sub/Up/Average/Paeth)
+    and check the decoder reconstructs the exact pixels."""
+    import struct
+    import zlib
+    from text_extraction_system_ray.functions.png import (PNG_SIGNATURE,
+                                                          decode_png)
+    rng = np.random.RandomState(2)
+    w, h, ch = 8, 5, 3
+    img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    bpp, stride = ch, w * ch
+    rows, prev = [], np.zeros(stride, np.int32)
+    for r in range(h):
+        ft = r % 5
+        line = img[r].reshape(-1).astype(np.int32)
+        f = line.copy()
+        for c in range(stride - 1, -1, -1):
+            a = line[c - bpp] if c >= bpp else 0
+            b = int(prev[c])
+            cc = int(prev[c - bpp]) if c >= bpp else 0
+            if ft == 1:
+                f[c] = (line[c] - a) & 0xFF
+            elif ft == 2:
+                f[c] = (line[c] - b) & 0xFF
+            elif ft == 3:
+                f[c] = (line[c] - ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else cc)
+                f[c] = (line[c] - pred) & 0xFF
+        rows.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+        prev = line
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + \
+            struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    data = PNG_SIGNATURE \
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)) \
+        + chunk(b"IDAT", zlib.compress(b"".join(rows))) \
+        + chunk(b"IEND", b"")
+    assert (decode_png(data) == img).all()
+
+
+def test_checked_in_png_fixture_deskew_roundtrip():
+    """VERDICT r2 item 5: a real PNG of skewed scanned-looking text is
+    decoded, skew-detected (≈6°) and counter-rotated back to straight —
+    entirely without PIL/cv2."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "skewed_text.png")
+    data = open(path, "rb").read()
+    got = detect_rotation_raster(data)
+    assert abs(got - 6.0) <= 0.5, got
+    img = decode_l_image(data)
+    fixed = rotate_image_array(img, -got)
+    assert abs(detect_rotation_projection(fixed)) <= 0.5
 
 
 def test_rotate_image_array_90_and_round_trip():

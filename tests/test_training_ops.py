@@ -99,6 +99,46 @@ def test_ngram_jaccard_matches_minhash_verify(ray_session, dup_dir):
     assert (100, 101) in got and (100, 102) in got
 
 
+@pytest.fixture(scope="module")
+def clustered_emb_dir(tmp_path_factory):
+    """Embeddings in 4 tight angular clusters around orthogonal axes —
+    the shape where cap-bound tile skipping must engage."""
+    d = tmp_path_factory.mktemp("clust")
+    rng = np.random.RandomState(7)
+    dim, per = 16, 64
+    rows = []
+    for c in range(4):
+        base = np.zeros(dim)
+        base[c] = 1.0
+        vecs = base + rng.normal(scale=0.05, size=(per, dim))
+        rows.append(vecs)
+    m = np.concatenate(rows)
+    # interleave clusters so the k-means sample batch sees all of them
+    order = np.argsort(np.tile(np.arange(per), 4), kind="stable")
+    m = m[order]
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), dim)})
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_embedding_neardup_tile_skip_on_clustered_corpus(
+        ray_session, clustered_emb_dir):
+    """VERDICT r2 item 2: on a clustered corpus the cap bound must skip
+    over half the tiles AND the result must equal the no-skip exact run."""
+    got = _ann.embedding_neardup_pairs(clustered_emb_dir, threshold=0.6,
+                                       n_blocks=4)
+    stats = dict(_ann._last_tile_stats)
+    assert stats["tiles_skipped"] > 0
+    assert stats["tiles_evaluated"] < stats["tiles_total"] / 2
+    exact = _ann.embedding_neardup_pairs(clustered_emb_dir, threshold=0.6,
+                                         n_blocks=1)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exact.reset_index(drop=True))
+
+
 def test_ann_topk_self_is_best(ray_session):
     sf = "/root/testdata/sf0.001"
     df = _ann.cosine_topk(sf)

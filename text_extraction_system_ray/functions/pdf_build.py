@@ -48,11 +48,18 @@ def build_pdf(
     image_pages: Optional[Sequence[int]] = None,
     raw_contents: Optional[Sequence[Optional[bytes]]] = None,
     outlines: Optional[Sequence[dict]] = None,
+    image_names: Optional[dict] = None,
 ) -> bytes:
     """Build a PDF. ``pages`` = list of pages, each a list of text lines.
 
+    ``media_box``: one (w, h) for every page, or a sequence of per-page
+    (w, h) tuples (mixed-size documents keep their geometry on rebuild).
     ``image_pages``: 1-based page numbers that get a dummy image XObject
     (drives the needs-OCR classifier analog, ref ``pdf/pdf.py:31-33``).
+    ``image_names``: optional {1-based page -> [XObject names]} so a
+    rebuild preserves the original pages' image resource names (content
+    streams referencing ``/ImG0 Do`` etc. keep resolving — needs-OCR
+    classification survives a merge round-trip); default ``["Im1"]``.
     ``raw_contents``: optional per-page raw content stream override.
     ``outlines``: bookmark entries ``{title, page (1-based), level
     (1-based), x, y}`` — a flat list; nesting is reconstructed from
@@ -62,6 +69,11 @@ def build_pdf(
     rotations = list(rotations or [0] * n)
     image_set = set(image_pages or [])
     raw_contents = list(raw_contents or [None] * n)
+    image_names = image_names or {}
+    if media_box and isinstance(media_box[0], (tuple, list)):
+        media_list = [tuple(m) for m in media_box]
+    else:
+        media_list = [tuple(media_box)] * n
 
     objs: List[bytes] = []   # 1-indexed bodies, object i = objs[i-1]
 
@@ -101,11 +113,15 @@ def build_pdf(
         )
         res = b"<< /Font << /F1 " + str(font_num).encode() + b" 0 R >>"
         if (i + 1) in image_set:
-            res += b" /XObject << /Im1 " + str(img_num).encode() + b" 0 R >>"
+            names = image_names.get(i + 1) or ["Im1"]
+            res += b" /XObject << " + b" ".join(
+                b"/" + nm.encode("latin-1") + b" "
+                + str(img_num).encode() + b" 0 R" for nm in names) + b" >>"
         res += b" >>"
+        mb = media_list[i]
         p = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
-            + f"{media_box[0]:g} {media_box[1]:g}".encode()
+            + f"{mb[0]:g} {mb[1]:g}".encode()
             + b"] /Rotate " + str(rotations[i]).encode()
             + b" /Resources " + res
             + b" /Contents " + str(c_num).encode() + b" 0 R >>"

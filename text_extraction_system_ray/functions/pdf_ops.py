@@ -55,6 +55,21 @@ def get_page_images_amount(payload: bytes,
     return sum(1 for n in page_image_counts(payload, cfg).values() if n > 0)
 
 
+def _page_image_names(doc: "_PdfDoc", pobj) -> List[str]:
+    """Names of the page's /Image XObject resources (so rebuilds keep
+    the original resource names and content-stream ``/Name Do`` refs —
+    and thus has_image / image_cover — intact; ADVICE r2)."""
+    xo = re.search(rb"/XObject\s*<<(.*?)>>", pobj.body, re.DOTALL)
+    names: List[str] = []
+    if xo:
+        for r in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
+                             xo.group(1)):
+            obj = doc.objs.get(int(r.group(2)))
+            if obj is not None and b"/Image" in doc._dict_part(obj):
+                names.append(r.group(1).decode("latin-1"))
+    return names
+
+
 def remove_text_layer(payload: bytes,
                       cfg: PipelineConfig = DEFAULT_CONFIG) -> bytes:
     """Rebuild with all BT..ET text objects stripped from content streams.
@@ -66,18 +81,22 @@ def remove_text_layer(payload: bytes,
     rotations = []
     media = []
     image_flags = []
-    for pobj in doc.pages:
+    image_names = {}
+    for i, pobj in enumerate(doc.pages, start=1):
         content = doc.content_bytes(pobj)
         stripped = _BT_ET_RE.sub(b"", content)
         raw_contents.append(stripped)
         rotations.append(pobj.rotate)
         media.append(pobj.media)
         image_flags.append(pobj.has_image)
-    mb = media[0] if media else (612.0, 792.0)
-    return build_pdf(pages=[[] for _ in raw_contents], media_box=mb,
+        nm = _page_image_names(doc, pobj)
+        if nm:
+            image_names[i] = nm
+    return build_pdf(pages=[[] for _ in raw_contents],
+                     media_box=media or (612.0, 792.0),
                      rotations=rotations,
                      image_pages=[i + 1 for i, f in enumerate(image_flags) if f],
-                     raw_contents=raw_contents)
+                     raw_contents=raw_contents, image_names=image_names)
 
 
 def rotate_pdf_pages(payload: bytes, angle: int,
@@ -86,12 +105,16 @@ def rotate_pdf_pages(payload: bytes, angle: int,
     ``pdf/pdf.py:370-389``)."""
     doc = _PdfDoc(payload, cfg)
     raw_contents = [doc.content_bytes(p) for p in doc.pages]
-    mb = doc.pages[0].media if doc.pages else (612.0, 792.0)
-    return build_pdf(pages=[[] for _ in raw_contents], media_box=mb,
+    media = [p.media for p in doc.pages]
+    image_names = {i: _page_image_names(doc, p)
+                   for i, p in enumerate(doc.pages, start=1)
+                   if _page_image_names(doc, p)}
+    return build_pdf(pages=[[] for _ in raw_contents],
+                     media_box=media or (612.0, 792.0),
                      rotations=[angle] * len(raw_contents),
                      image_pages=[i + 1 for i, p in enumerate(doc.pages)
                                   if p.has_image],
-                     raw_contents=raw_contents)
+                     raw_contents=raw_contents, image_names=image_names)
 
 
 def render_debug_pdf(char_spans, pages: Sequence[dict]) -> bytes:
@@ -151,10 +174,14 @@ def merge_text_layer_pdf(payload: bytes, page_texts: Dict[int, str],
     raw_contents = []
     rotations = []
     image_flags = []
-    media = (612.0, 792.0)
+    media: List[Tuple[float, float]] = []
+    image_names = {}
     for i, pobj in enumerate(doc.pages, start=1):
         content = doc.content_bytes(pobj)
-        media = pobj.media
+        media.append(pobj.media)
+        nm = _page_image_names(doc, pobj)
+        if nm:
+            image_names[i] = nm
         text = page_texts.get(i)
         if text:
             h = pobj.media[1]
@@ -180,12 +207,13 @@ def merge_text_layer_pdf(payload: bytes, page_texts: Dict[int, str],
     outlines = [{"title": e["title"], "page": e["page"],
                  "level": e["level"], "x": e["left"], "y": e["top"]}
                 for e in toc]
-    return build_pdf(pages=[[] for _ in raw_contents], media_box=media,
+    return build_pdf(pages=[[] for _ in raw_contents],
+                     media_box=media or (612.0, 792.0),
                      rotations=rotations,
                      image_pages=[i + 1 for i, f in enumerate(image_flags)
                                   if f],
                      raw_contents=raw_contents,
-                     outlines=outlines or None)
+                     outlines=outlines or None, image_names=image_names)
 
 
 def rasterize_page(payload: bytes, page: int, dpi: int = OCR_DPI,

@@ -65,14 +65,17 @@ def encode_l_image(img: np.ndarray) -> bytes:
 
 
 def decode_l_image(payload: bytes) -> np.ndarray:
-    """FAKEIMG1 bytes → grayscale array (multi-channel → channel mean)."""
-    from ..pipelines.multimodal import _HEADER, _decode_stub
-    m = _decode_stub(payload)
-    arr = np.frombuffer(payload[_HEADER.size:], np.uint8)
-    if m["channels"] == 1:
-        return arr.reshape(m["height"], m["width"])
-    return arr.reshape(m["height"], m["width"], m["channels"]) \
-        .mean(axis=2).astype(np.uint8)
+    """Image bytes → grayscale array. Real PNGs decode through the
+    pure-numpy codec (``functions/png.py``); FAKEIMG1 decodes from its
+    raw buffer; multi-channel collapses to the channel mean."""
+    from ..functions.png import is_png, png_gray
+    if is_png(payload):
+        return png_gray(payload)
+    from ..pipelines.multimodal import _decode_image
+    arr, _mode = _decode_image(payload)
+    if arr.shape[2] == 1:
+        return arr[:, :, 0]
+    return arr.mean(axis=2).astype(np.uint8)
 
 
 # -------------------------------------------------------- threshold

@@ -197,42 +197,109 @@ def _block_pair_sims(blk_a: pa.Table, blk_b: pa.Table, same: bool,
                      "cos": pa.array(sims[ii, jj], pa.float64())})
 
 
+# test/diagnostic hook: tile accounting of the last neardup run
+_last_tile_stats: dict = {}
+
+
+@ray.remote
+def _block_cap(blk: pa.Table):
+    """Angular-cap summary of one block: (unit centroid, min dot of any
+    member to it). ``min_dot = cos(radius)`` of the smallest spherical
+    cap containing the block — computed from the block's ACTUAL
+    contents, so the tile bound below is sound no matter how the blocks
+    were formed."""
+    if blk.num_rows == 0:
+        return None
+    m = _embs(blk["emb"])
+    c = m.mean(axis=0)
+    n = np.linalg.norm(c)
+    if n == 0:
+        return None
+    c = c / n
+    return c, float(np.min(m @ c))
+
+
+def _tile_cos_upper_bound(cap_a, cap_b) -> float:
+    """Max possible cosine between any member of cap A and any member of
+    cap B: spherical triangle inequality ``angle(a,b) >= angle(cA,cB) -
+    rA - rB`` ⇒ ``cos(a,b) <= cos(max(0, theta - rA - rB))``."""
+    ca, min_dot_a = cap_a
+    cb, min_dot_b = cap_b
+    theta = float(np.arccos(np.clip(ca @ cb, -1.0, 1.0)))
+    ra = float(np.arccos(np.clip(min_dot_a, -1.0, 1.0)))
+    rb = float(np.arccos(np.clip(min_dot_b, -1.0, 1.0)))
+    return float(np.cos(max(0.0, theta - ra - rb)))
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
                             n_blocks: int = 8) -> pd.DataFrame:
-    """All-pairs cosine near-dups, EXACT, block-tiled.
+    """All-pairs cosine near-dups, EXACT, block-tiled with sound
+    tile skipping.
 
-    The corpus streams through a normalize+pack stage into ~``n_blocks``
-    object-store blocks; every block-pair tile (i ≤ j) is one Ray task
-    doing a single matmul. The driver holds only block *refs* and the
+    The corpus streams through a normalize+pack stage that also assigns
+    each vector to one of ``n_blocks`` angular clusters (k-means on a
+    bounded sample — the IVF quantizer pattern); sorting by cluster
+    makes the object-store blocks angularly compact. Every surviving
+    block-pair tile (i ≤ j) is one Ray task doing a single matmul. The
+    driver holds only block *refs*, per-block cap summaries and the
     final thresholded pairs — nothing reads the full embedding table
-    into driver memory (r01 broadcast the entire normalized matrix to
-    every batch; VERDICT item 4). A true cross product of Dataset blocks
-    is the one shape ``map_batches`` cannot express, hence raw tasks
-    here (SURVEY §7.0 last-resort rule).
+    into driver memory. A true cross product of Dataset blocks is the
+    one shape ``map_batches`` cannot express, hence raw tasks here
+    (SURVEY §7.0 last-resort rule).
 
-    Exactness is required because the 0.35 threshold sits inside the
-    corpus's cosine continuum — any LSH prefilter loses borderline pairs
-    (measured sf0.01: 719 pairs in [0.30, 0.35) vs 271 above). At 100-TB
-    scale the same tiling holds per partition-pair; an LSH prefilter
-    (lsh_cosine_topk's signatures) can skip far-apart tiles when the
-    threshold is high enough to leave a margin."""
+    **Tile skip (VERDICT r2 item 2)**: each block's spherical-cap
+    summary (centroid + max angular radius, measured from actual
+    contents) gives an upper bound on any cross-tile cosine; tiles whose
+    bound is below ``threshold`` (minus the 6-dp rounding epsilon)
+    cannot contribute a pair and are never scheduled. The bound is
+    LOSSLESS — unlike an LSH prefilter it can't drop borderline pairs
+    (the 0.35 threshold sits inside the corpus's cosine continuum:
+    measured sf0.01, 719 pairs in [0.30, 0.35) vs 271 above), so the
+    exact result is preserved while clustered corpora evaluate only the
+    near-diagonal tiles. Diagonal tiles always run. At 100-TB scale the
+    same cap-bound tiling holds per partition-pair, turning the O(B²)
+    tile enumeration into O(B²) cheap bound checks + O(near tiles)
+    matmuls. ``_last_tile_stats`` records total/evaluated/skipped."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batch = next(pf.iter_batches(batch_size=4096, columns=["embedding"]))
+    sample = _normalize(_embs(pa.table(batch)["embedding"]))
+    centroids = _kmeans_lite(sample, n_blocks)
+    cent_ref = ray.put(centroids)
 
     def pack(t: pa.Table) -> pa.Table:
         m = _normalize(_embs(t["embedding"]))
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(m.ravel(), pa.float64()), m.shape[1])
-        return pa.table({"vec_id": t["vec_id"], "emb": emb})
+        blk = np.argmax(m @ ray.get(cent_ref).T, axis=1).astype(np.int32)
+        return pa.table({"vec_id": t["vec_id"], "emb": emb,
+                         "blk": pa.array(blk, pa.int32())})
 
     packed = ds.map_batches(pack, batch_format="pyarrow") \
-        .repartition(n_blocks)
+        .sort("blk").repartition(n_blocks)
     refs = packed.to_arrow_refs()
+    caps = ray.get([_block_cap.remote(r) for r in refs])
+
+    skip_below = threshold - 1e-6   # 6-dp round_half_up safety margin
     tasks = []
+    n_skipped = 0
     for i in range(len(refs)):
+        if caps[i] is None:
+            continue
         for j in range(i, len(refs)):
+            if caps[j] is None:
+                continue
+            if i != j and _tile_cos_upper_bound(
+                    caps[i], caps[j]) < skip_below:
+                n_skipped += 1
+                continue
             tasks.append(_block_pair_sims.remote(refs[i], refs[j],
                                                  i == j, threshold))
+    _last_tile_stats.update(
+        tiles_total=len(tasks) + n_skipped,
+        tiles_evaluated=len(tasks), tiles_skipped=n_skipped)
     tables = [t for t in ray.get(tasks) if t.num_rows]
     if not tables:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -428,3 +495,49 @@ def ivf_cosine_topk(sf_dir: str, k: int = _K, n_lists: int = 16,
         final_topk, batch_format="pandas").to_pandas() \
         .sort_values(["query_id", "cos", "vec_id"],
                      ascending=[True, False, True]).reset_index(drop=True)
+
+
+# ------------------------------------------- driver-checkable recall gates
+# Approximate methods can't hash-match an exact-SQL oracle row-for-row,
+# but their RECALL against the exact top-k can be checked by the driver
+# (VERDICT r2 item 3): each gate runs the ANN method AND the exact
+# baseline, computes per-query recall, and emits
+# ``recall_floor = min(recall, bar)`` — the oracle emits the constant
+# ``bar`` per query, so the hash matches iff every query's recall meets
+# the bar. A recall miss produces a value < bar → driver mismatch.
+LSH_RECALL_BAR = 0.9
+IVF_RECALL_BAR = 0.8
+
+
+def _recall_frame(ann_df: pd.DataFrame, exact_df: pd.DataFrame,
+                  k: int, bar: float) -> pd.DataFrame:
+    exact_sets = exact_df.groupby("query_id")["vec_id"].apply(set)
+    rows = []
+    for qid, want in exact_sets.items():
+        got = set(ann_df.loc[ann_df["query_id"] == qid, "vec_id"])
+        recall = len(got & want) / max(len(want), 1)
+        rows.append((int(qid), int(k), round(min(recall, bar), 4)))
+    return pd.DataFrame(rows, columns=["query_id", "k", "recall_floor"]) \
+        .sort_values("query_id").reset_index(drop=True)
+
+
+def lsh_recall_vs_exact(sf_dir: str, k: int = _K,
+                        bar: float = LSH_RECALL_BAR) -> pd.DataFrame:
+    """(query_id, k, recall_floor) — green iff LSH recall ≥ bar/query."""
+    return _recall_frame(lsh_cosine_topk(sf_dir, k), cosine_topk(sf_dir, k),
+                         k, bar)
+
+
+def ivf_recall_vs_exact(sf_dir: str, k: int = _K,
+                        bar: float = IVF_RECALL_BAR) -> pd.DataFrame:
+    """(query_id, k, recall_floor) — green iff flat-IVF recall ≥ bar."""
+    return _recall_frame(ivf_cosine_topk(sf_dir, k), cosine_topk(sf_dir, k),
+                         k, bar)
+
+
+def ivf_index_recall_vs_exact(sf_dir: str, k: int = _K,
+                              bar: float = IVF_RECALL_BAR) -> pd.DataFrame:
+    """(query_id, k, recall_floor) — green iff partitioned-index IVF
+    recall ≥ bar (exercises build → partitioned pruned read → top-k)."""
+    return _recall_frame(ivf_index_topk(sf_dir, k), cosine_topk(sf_dir, k),
+                         k, bar)

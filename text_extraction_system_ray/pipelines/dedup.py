@@ -576,16 +576,39 @@ def _verify_pairs_distributed(sf_dir: str, pairs: pd.DataFrame,
 
 
 # ---------------------------------------------------------------- simhash
+def _md5_token_hash_batch(texts: List[Optional[str]]
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Token hashes as the high 64 bits of ``md5(token)`` — the one hash
+    DuckDB reproduces bit-exactly (``CAST('0x' || substr(md5(w),1,16) AS
+    UBIGINT)``), making the simhash itself SQL-checkable. md5 runs only
+    on the batch's UNIQUE tokens (vocabulary ≪ token count); the flat
+    token array is rebuilt by ``np.unique`` inverse indexing."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    ptr = np.zeros(len(tok_lists) + 1, np.int64)
+    np.cumsum(lens, out=ptr[1:])
+    flat = [w for toks in tok_lists for w in toks]
+    if not flat:
+        return np.empty(0, np.uint64), ptr
+    uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                          return_inverse=True)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big")
+         for u in uniq), np.uint64, len(uniq))
+    return uh[inv], ptr
+
+
 class SimhashStage:
-    """64-bit simhash per doc — one vectorized pass per batch: all tokens
-    hashed in one ``pd.util.hash_array`` call, bit votes accumulated with
-    ``np.add.reduceat`` segment sums (no per-token Python loop)."""
+    """64-bit simhash per doc — one vectorized pass per batch: unique
+    tokens hashed with oracle-parity md5 (see ``_md5_token_hash_batch``),
+    bit votes accumulated with ``np.add.reduceat`` segment sums (no
+    per-token Python loop)."""
 
     _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
-        th, ptr = _token_hash_batch(texts)
+        th, ptr = _md5_token_hash_batch(texts)
         n_docs = len(ptr) - 1
         out = np.zeros(n_docs, np.uint64)
         if th.size:

@@ -34,22 +34,47 @@ def encode_fake_image(width: int, height: int, channels: int = 3,
     return _HEADER.pack(MAGIC, width, height, channels, mode) + body
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """STUB decode — replace with PIL.Image.open / cv2.imdecode in a real
-    deployment. Raises ValueError on junk exactly like a real decoder."""
-    if payload is None or len(payload) < _HEADER.size:
+def _decode_image(payload: bytes):
+    """Unified decode: (pixels as (h, w, c) uint8, mode string).
+
+    Real PNGs decode through the pure-numpy codec
+    (:mod:`..functions.png` — zlib + all five scanline filters); the
+    deterministic FAKEIMG1 fixture format stands in for formats whose
+    codecs aren't in this container (JPEG etc. raise
+    NotImplementedError, clearly marked)."""
+    from ..functions import png as _png
+    if payload is None or len(payload) < 8:
+        raise ValueError("payload too short")
+    if _png.is_png(payload):
+        arr = _png.decode_png(payload)
+        mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[
+            1 if arr.ndim == 2 else arr.shape[2]]
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr, mode
+    if len(payload) < _HEADER.size:
         raise ValueError("payload too short")
     magic, w, h, c, mode = _HEADER.unpack_from(payload, 0)
     if magic != MAGIC:
         raise NotImplementedError(
-            "real image decoding is stubbed in this environment "
-            "(no PIL/cv2); only the FAKEIMG1 fixture format decodes")
+            "real decoding of non-PNG formats is stubbed in this "
+            "environment (no PIL/cv2); PNG and the FAKEIMG1 fixture "
+            "format decode")
     body = payload[_HEADER.size:]
     if len(body) != w * h * c:
         raise ValueError("payload length mismatch")
-    arr = np.frombuffer(body, dtype=np.uint8)
+    arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+    return arr, mode.rstrip(b"\x00").decode("ascii")
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Decode to metadata — PNG is real (pure-numpy codec); other
+    encoded formats are stubbed. Raises ValueError on junk exactly like
+    a real decoder."""
+    arr, mode = _decode_image(payload)
+    h, w, c = arr.shape
     return {"width": int(w), "height": int(h), "channels": int(c),
-            "mode": mode.rstrip(b"\x00").decode("ascii"),
+            "mode": mode,
             "mean_px": round(float(arr.mean()), 4) if arr.size else 0.0,
             "sha1": hashlib.sha1(payload).hexdigest()}
 
@@ -96,8 +121,11 @@ class DecodeImages:
 
 def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
     """Deterministic binary image column derived from documents (doc_id
-    seeds size + pixels); every 17th row is corrupt to exercise the error
-    path."""
+    seeds size + pixels); every 17th row (≡5) is corrupt to exercise the
+    error path, and every 17th row (≡11) is a REAL grayscale PNG
+    (encoded by the pure-numpy codec) so the encoded-bitmap decode path
+    runs inside the standard pipeline, not just in unit tests."""
+    from ..functions.png import encode_png
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
@@ -105,11 +133,15 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
         ids = t.column("doc_id").to_pylist()
         payloads = []
         for d in ids:
+            w = 8 + (d % 5) * 4
+            h = 8 + (d % 3) * 4
             if d % 17 == 5:
                 payloads.append(b"NOTANIMAGE" + bytes(8))
+            elif d % 17 == 11:
+                rng = np.random.RandomState(d & 0x7FFFFFFF)
+                payloads.append(encode_png(
+                    rng.randint(0, 256, size=(h, w)).astype(np.uint8)))
             else:
-                w = 8 + (d % 5) * 4
-                h = 8 + (d % 3) * 4
                 payloads.append(encode_fake_image(w, h, 3, seed=d))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "image": pa.array(payloads, pa.binary())})
@@ -141,17 +173,19 @@ def image_metadata_summary(sf_dir: str) -> "object":
 
 # ------------------------------------------------------------- resize
 def resize_fake_image(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """REAL nearest-neighbor resize on the fake format's actual pixel
-    buffer (numpy index math — the kernel a PIL deployment would swap
-    for ``Image.resize``)."""
-    m = _decode_stub(payload)
-    w, h, c = m["width"], m["height"], m["channels"]
-    arr = np.frombuffer(payload[_HEADER.size:], np.uint8).reshape(h, w, c)
+    """REAL nearest-neighbor resize on the decoded pixel buffer (numpy
+    index math — the kernel a PIL deployment would swap for
+    ``Image.resize``). PNG in → PNG out; FAKEIMG1 in → FAKEIMG1 out."""
+    from ..functions import png as _png
+    arr, mode = _decode_image(payload)
+    h, w, c = arr.shape
     yi = (np.arange(out_h) * h) // out_h
     xi = (np.arange(out_w) * w) // out_w
     out = arr[yi[:, None], xi[None, :], :]
+    if _png.is_png(payload):
+        return _png.encode_png(out[:, :, 0] if c == 1 else out)
     return _HEADER.pack(MAGIC, out_w, out_h, c,
-                        (m["mode"] + "\x00" * 4)[:4].encode()) + out.tobytes()
+                        (mode + "\x00" * 4)[:4].encode()) + out.tobytes()
 
 
 class ResizeImages:
@@ -213,9 +247,7 @@ class ImageFeatures:
                                    t.column("image").to_pylist()):
             ids.append(doc_id)
             try:
-                m = _decode_stub(payload)
-                arr = np.frombuffer(payload[_HEADER.size:], np.uint8) \
-                    .reshape(m["height"], m["width"], m["channels"])
+                arr, _mode = _decode_image(payload)
                 ch_mean = arr.mean(axis=(0, 1))
                 hist = np.histogram(arr, bins=8, range=(0, 256))[0]
                 emb = (hist / max(hist.sum(), 1)).astype(np.float32)

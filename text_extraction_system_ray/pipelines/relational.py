@@ -326,27 +326,61 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return out[["event_type", "hour", "n_events", "sum_value"]]
 
 
-def events_sessionize(sf_dir: str) -> pd.DataFrame:
-    """Session windows (30-min gap) per user: groupby(user).map_groups
-    over ts-sorted groups — the streaming-window shape on a batch engine
-    (ray_guide 'Streaming-shaped workloads')."""
+def events_sessionize(sf_dir: str,
+                      bucket_hours: int = 24) -> pd.DataFrame:
+    """Session windows (30-min gap) per user — skew-robust two-level
+    plan (VERDICT r2 item 10).
+
+    A single ``groupby(user).map_groups`` materializes one user's FULL
+    history in one task — fine until a hot key owns millions of events.
+    Instead: (1) ``groupby(user, time_bucket)`` sessionizes within fixed
+    time buckets, so the largest group is bounded by one bucket's events
+    for one user, not the user's lifetime; (2) per-bucket session
+    summaries (orders of magnitude fewer rows than events) are stitched
+    per user — adjacent sessions whose boundary gap ≤ 30 min merge,
+    exactly reproducing the single-pass result because sessionization is
+    associative under time-ordered splits. The second shuffle moves only
+    session summaries, never events."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_id", "ts", "value"])
+    bucket_ns = int(bucket_hours) * 3_600 * 10**9
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("ns"))
+        b = pc.divide(ts.cast(pa.int64()), bucket_ns)
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    def sess_partial(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        g["session_id"] = gap.cumsum().astype("int64")
+        g["sid"] = gap.cumsum().astype("int64")
         g["val_c"] = scaled_int(g["value"], 6)
-        out = g.groupby("session_id", as_index=False).agg(
+        out = g.groupby("sid", as_index=False).agg(
             n_events=("event_id", "size"), start_ts=("ts", "min"),
             end_ts=("ts", "max"), val_c=("val_c", "sum"))
         out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["sum_value"] = round_half_up(out["val_c"] / 1e6, 2)
-        return out.drop(columns=["val_c"])
+        return out.drop(columns=["sid"])
 
-    return ds.groupby("user_id").map_groups(
-        sess, batch_format="pandas").to_pandas()
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["start_ts", "end_ts"]).reset_index(drop=True)
+        new = (g["start_ts"] - g["end_ts"].shift()) > \
+            pd.Timedelta(minutes=30)
+        new.iloc[0] = True
+        sid = new.cumsum() - 1
+        out = g.groupby(sid, as_index=False).agg(
+            user_id=("user_id", "first"), n_events=("n_events", "sum"),
+            start_ts=("start_ts", "min"), end_ts=("end_ts", "max"),
+            val_c=("val_c", "sum"))
+        out.insert(1, "session_id", np.arange(len(out), dtype="int64"))
+        out["sum_value"] = round_half_up(out["val_c"] / 1e6, 2)
+        return out[["user_id", "session_id", "n_events", "start_ts",
+                    "end_ts", "sum_value"]]
+
+    partial = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby(["user_id", "bucket"]) \
+        .map_groups(sess_partial, batch_format="pandas")
+    return partial.groupby("user_id").map_groups(
+        stitch, batch_format="pandas").to_pandas()
 
 
 # ------------------------------------------------------------- distincts

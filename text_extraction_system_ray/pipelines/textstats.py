@@ -12,8 +12,8 @@ fingerprint are model-style ops with rows-only checks.
 """
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 from typing import List
 
 import numpy as np
@@ -157,9 +157,16 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
 
 
 def fingerprint(sf_dir: str, k: int = 8, n_keep: int = 4) -> ray.data.Dataset:
-    """Winnowing-style document fingerprint: CRC32 rolling window over
-    k-grams of tokens; keep the n smallest hashes; fingerprint = CRC32 of
-    their concatenation. Deterministic, order-insensitive to whitespace."""
+    """Winnowing-style document fingerprint, oracle-checkable: md5-low64
+    rolling window over word k-grams; keep the ``n_keep`` smallest gram
+    hashes; fingerprint = first 16 hex chars of md5 over their
+    comma-joined decimal values. Deterministic, whitespace-insensitive,
+    and — because every hash is md5 — recomputable bit-exactly by the
+    DuckDB oracle (same pattern as ``dedup.SimhashStage``). Docs shorter
+    than ``k`` tokens (including empty) contribute one whole-run gram.
+
+    Per batch the gram strings are built flat and hashed in one pass;
+    the min-``n_keep`` selection is ``np.partition`` per doc segment."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -167,14 +174,20 @@ def fingerprint(sf_dir: str, k: int = 8, n_keep: int = 4) -> ray.data.Dataset:
         fps, nsh = [], []
         for x in t.column("text").to_pylist():
             toks = _tokens((x or "").lower())
-            grams = [" ".join(toks[i:i + k]) for i in range(max(1, len(toks) - k + 1))]
-            hashes = sorted(zlib.crc32(g.encode("utf-8")) for g in grams)
-            keep = hashes[:n_keep]
-            fp = zlib.crc32(",".join(str(h) for h in keep).encode("ascii"))
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(max(1, len(toks) - k + 1))]
+            h = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+                 for g in grams), np.uint64, len(grams))
+            keep = np.sort(np.partition(h, min(n_keep, len(h)) - 1)
+                           [:n_keep])
+            fp = hashlib.md5(",".join(str(int(v)) for v in keep)
+                             .encode("ascii")).hexdigest()[:16]
             fps.append(fp)
             nsh.append(len(grams))
         return pa.table({"doc_id": t["doc_id"],
-                         "fingerprint": pa.array(fps, pa.int64()),
+                         "fingerprint": pa.array(fps, pa.string()),
                          "n_shingles": pa.array(nsh, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")

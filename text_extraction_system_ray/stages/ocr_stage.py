@@ -31,6 +31,12 @@ class OcrBackend:
     def ocr_page(self, page_pdf: bytes, language: str) -> str:
         raise NotImplementedError
 
+    def ocr_raster(self, img, language: str) -> Optional[str]:
+        """OCR a deskewed grayscale raster (numpy H×W uint8). Backends
+        that can only consume PDFs return None; the caller then falls
+        back to :meth:`ocr_page` on the original page bytes."""
+        return None
+
 
 class TesseractBackend(OcrBackend):
     """STUB — requires the tesseract binary / pytesseract (ref
@@ -44,11 +50,16 @@ class TesseractBackend(OcrBackend):
 
 
 class FakeOcrBackend(OcrBackend):
-    """Deterministic fake: 'ocr page <digest>' from the page bytes."""
+    """Deterministic fake: 'ocr page <digest>' from the page bytes (or
+    the deskewed raster bytes on the raster path)."""
 
     def ocr_page(self, page_pdf: bytes, language: str) -> str:
         digest = hashlib.sha1(page_pdf).hexdigest()[:12]
         return f"[ocr:{language or 'osd'}:{digest}]"
+
+    def ocr_raster(self, img, language: str) -> str:
+        digest = hashlib.sha1(img.tobytes()).hexdigest()[:12]
+        return f"[ocr-raster:{language or 'osd'}:{digest}]"
 
 
 class OcrPages:
@@ -60,9 +71,11 @@ class OcrPages:
     ``deskew=True`` runs the reference's detect→rotate arm per page
     (``process_pdf_page``, ``data_extract.py:305-362``) with the
     engine's raster kernels: rasterize the page (real renderer over the
-    layout IR), projection-profile skew detection, nearest-neighbor
-    counter-rotation of the raster fed to the backend; the detected
-    angle rides in the output struct (feeds ``attach_searchable_pdf``'s
+    layout IR), projection-profile skew detection, then nearest-neighbor
+    counter-rotation of the raster which is fed to the backend's
+    ``ocr_raster`` path (backends without raster support fall back to
+    ``ocr_page`` on the original page bytes); the detected angle rides
+    in the output struct (feeds ``attach_searchable_pdf``'s
     ``page_angles``, the ``{page:05}.angle.pdf`` analog)."""
 
     def __init__(self, backend: Optional[OcrBackend] = None,
@@ -74,13 +87,25 @@ class OcrPages:
         self.deskew = deskew
         self.min_deskew_angle = min_deskew_angle
 
-    def _page_angle(self, page_pdf: bytes) -> float:
+    def _page_angle(self, page_pdf: bytes):
+        """(detected angle, page raster) — one rasterization serves both
+        detection and the deskewed-OCR input."""
         from ..functions.pdf_ops import rasterize_page
         from ..functions.raster import (decode_l_image,
                                         detect_rotation_projection)
         img = decode_l_image(rasterize_page(page_pdf, 1, dpi=72,
                                             cfg=self.cfg))
-        return detect_rotation_projection(img)
+        return detect_rotation_projection(img), img
+
+    def _ocr_deskewed(self, page_pdf: bytes, img, angle: float) -> str:
+        """Counter-rotate the raster by the detected angle and OCR it;
+        fall back to the original page bytes for PDF-only backends."""
+        from ..functions.raster import rotate_image_array
+        deskewed = rotate_image_array(img, -angle) if angle else img
+        text = self.backend.ocr_raster(deskewed, self.language)
+        if text is None:
+            text = self.backend.ocr_page(page_pdf, self.language)
+        return text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: List[list] = []
@@ -94,16 +119,24 @@ class OcrPages:
                     for page_no in need:
                         if page_no not in chunks:
                             continue
-                        rec = {"page": page_no,
-                               "text": self.backend.ocr_page(
-                                   chunks[page_no], self.language)}
                         if self.deskew:
                             try:
-                                a = self._page_angle(chunks[page_no])
+                                a, img = self._page_angle(chunks[page_no])
                             except Exception:   # noqa: BLE001
-                                a = 0.0
-                            rec["angle"] = (a if abs(a) >=
-                                            self.min_deskew_angle else 0.0)
+                                a, img = 0.0, None
+                            a = a if abs(a) >= self.min_deskew_angle else 0.0
+                            if img is not None:
+                                text = self._ocr_deskewed(
+                                    chunks[page_no], img, a)
+                            else:
+                                text = self.backend.ocr_page(
+                                    chunks[page_no], self.language)
+                            rec = {"page": page_no, "text": text,
+                                   "angle": a}
+                        else:
+                            rec = {"page": page_no,
+                                   "text": self.backend.ocr_page(
+                                       chunks[page_no], self.language)}
                         results.append(rec)
                 except Exception:   # noqa: BLE001 — OCR failure ≠ row failure
                     results = []
