@@ -263,3 +263,40 @@ def test_merge_preserves_mixed_media_and_image_names():
     assert (sp[1].width, sp[1].height) == (300.0, 400.0)
     assert get_page_images_amount(stripped, cfg) == 1
     assert page_needs_ocr(sp[1])
+
+
+def test_remove_ocr_layer_preserves_original_text():
+    """VERDICT r2 item 6 round-trip: extract → attach OCR layer →
+    remove ONLY the marked /OliveGeneratedContent layer → extraction is
+    identical to the original (born-digital text preserved on mixed
+    pages); full remove_text_layer still strips everything."""
+    from text_extraction_system_ray.config import PipelineConfig
+    from text_extraction_system_ray.extract import extract_row
+    from text_extraction_system_ray.functions.pdf_build import build_pdf
+    from text_extraction_system_ray.functions.pdf_ops import (
+        merge_text_layer_pdf, remove_ocr_layer, remove_text_layer)
+
+    cfg = PipelineConfig()
+    original = build_pdf([["Original digital text."], []], image_pages=[2])
+    base = extract_row("u", original, "", cfg)
+    merged = merge_text_layer_pdf(original, {2: "layer only text"}, cfg)
+    merged_row = extract_row("u", merged, "", cfg)
+    assert "Original digital text." in merged_row["text"]
+    assert "layer only text" in merged_row["text"]
+
+    # selective removal: layer gone, original text byte-identical
+    cleaned = remove_ocr_layer(merged, cfg)
+    clean_row = extract_row("u", cleaned, "", cfg)
+    assert clean_row["text"] == base["text"]
+    assert list(map(tuple, clean_row["char_spans"])) == \
+        list(map(tuple, base["char_spans"]))
+
+    # mixed page: layer and original text on the SAME page
+    mixed = merge_text_layer_pdf(original, {1: "ocr on text page"}, cfg)
+    mixed_clean = extract_row("u", remove_ocr_layer(mixed, cfg), "", cfg)
+    assert mixed_clean["text"] == base["text"]
+
+    # full removal still strips born-digital text too
+    allgone = extract_row("u", remove_text_layer(merged, cfg), "", cfg)
+    assert "Original digital text." not in allgone["text"]
+    assert "layer only text" not in allgone["text"]

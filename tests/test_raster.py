@@ -182,3 +182,39 @@ def test_orientation_probe_upright_vs_rotated():
     ob, cb = detect_orientation_raster(
         np.full((100, 100), 255, np.uint8))
     assert cb == 0.0 and not osd_accept(2.0, cb)
+
+
+def _latin_like_page() -> np.ndarray:
+    """Synthetic Latin-shaped lines: dense x-height core, ~40%-ink
+    ascender band above it, ~10%-ink descender band below."""
+    rng = np.random.RandomState(5)
+    img = np.full((400, 300), 255, np.uint8)
+    for y0 in range(40, 360, 30):
+        asc = rng.rand(5, 240) < 0.4
+        desc = rng.rand(4, 240) < 0.1
+        img[y0:y0 + 5, 30:270][asc] = 0
+        img[y0 + 5:y0 + 15, 30:270] = 0
+        img[y0 + 15:y0 + 19, 30:270][desc] = 0
+    return img
+
+
+def test_orientation_full_resolves_180(ray_session=None):
+    """VERDICT r2 item 7: ascender/descender asymmetry resolves 180°
+    (and 270° via the axis stage) with confidence above the osd_accept
+    gate; symmetric char-box rasters stay below the gate (no false
+    flips on born-digital IR renders)."""
+    from text_extraction_system_ray.functions.raster import (
+        detect_flip_raster, detect_orientation_raster_full)
+    from text_extraction_system_ray.functions.rotation import osd_accept
+    img = _latin_like_page()
+    for true in (0, 90, 180, 270):
+        deg, conf = detect_orientation_raster_full(
+            rotate_image_array(img, true))
+        assert deg == true, (true, deg)
+        assert osd_accept(2.0, conf), (true, conf)
+    # symmetric lines: no asymmetry evidence -> below the gate
+    flat = np.full((200, 200), 255, np.uint8)
+    for y0 in range(20, 180, 20):
+        flat[y0:y0 + 10, 20:180] = 0
+    f, conf = detect_flip_raster(flat)
+    assert f == 0 and not osd_accept(2.0, conf)

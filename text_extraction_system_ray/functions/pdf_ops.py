@@ -70,11 +70,30 @@ def _page_image_names(doc: "_PdfDoc", pobj) -> List[str]:
     return names
 
 
+_OCR_LAYER_RE = re.compile(
+    rb"/OliveGeneratedContent\s*(?:<<.*?>>\s*)?(?:BDC|BMC)\b.*?\bEMC\b",
+    re.DOTALL)
+
+
+def remove_ocr_layer(payload: bytes,
+                     cfg: PipelineConfig = DEFAULT_CONFIG) -> bytes:
+    """Remove ONLY the engine/reference OCR text layer (marked content
+    tagged ``/OliveGeneratedContent``), preserving born-digital text on
+    mixed pages — the reference's ``MarkedContentRemover.java`` matcher
+    + ``remove_ocr_layer.py:16-46`` behavior. Round-trip contract
+    (tested): extract → attach layer → remove layer reproduces the
+    original extraction exactly."""
+    return remove_text_layer(payload, cfg, only_ocr_layer=True)
+
+
 def remove_text_layer(payload: bytes,
-                      cfg: PipelineConfig = DEFAULT_CONFIG) -> bytes:
-    """Rebuild with all BT..ET text objects stripped from content streams.
-    Image/graphics operators survive; the result round-trips through the
-    extractor as an empty-text document."""
+                      cfg: PipelineConfig = DEFAULT_CONFIG,
+                      only_ocr_layer: bool = False) -> bytes:
+    """Rebuild with text stripped from content streams: ALL BT..ET text
+    objects by default (ref ``RemovePdfText.java``), or — with
+    ``only_ocr_layer=True`` — only the ``/OliveGeneratedContent``
+    marked-content spans the searchable-PDF merge writes, leaving
+    original text intact. Image/graphics operators survive."""
     doc = _PdfDoc(payload, cfg)
     pages: List[Tuple] = []
     raw_contents = []
@@ -84,7 +103,10 @@ def remove_text_layer(payload: bytes,
     image_names = {}
     for i, pobj in enumerate(doc.pages, start=1):
         content = doc.content_bytes(pobj)
-        stripped = _BT_ET_RE.sub(b"", content)
+        if only_ocr_layer:
+            stripped = _OCR_LAYER_RE.sub(b"", content)
+        else:
+            stripped = _BT_ET_RE.sub(b"", content)
         raw_contents.append(stripped)
         rotations.append(pobj.rotate)
         media.append(pobj.media)
@@ -199,7 +221,12 @@ def merge_text_layer_pdf(payload: bytes, page_texts: Dict[int, str],
                     ops.append("T*")
                 ops.append(f"({_escape_pdf_text(ln)}) Tj")
             ops.append("ET")
-            layer = " ".join(ops).encode("latin-1", errors="replace")
+            # tag the generated layer as marked content so selective
+            # removal can strip ONLY it (ref MarkedContentRemover.java:
+            # matcher on /OliveGeneratedContent; remove_ocr_layer.py:16-46)
+            layer = b"/OliveGeneratedContent BMC " \
+                + " ".join(ops).encode("latin-1", errors="replace") \
+                + b" EMC"
             content = layer + b"\n" + content
         raw_contents.append(content)
         rotations.append(pobj.rotate)

@@ -205,3 +205,55 @@ def detect_orientation_raster(img: np.ndarray) -> Tuple[int, float]:
     if r_score >= c_score:
         return 0, round(r_score / (c_score + 1e-9), 3)
     return 90, round(c_score / (r_score + 1e-9), 3)
+
+
+def detect_flip_raster(img: np.ndarray) -> Tuple[int, float]:
+    """Glyph-free 180° vote (VERDICT r2 item 7): Latin text lines are
+    TOP-heavy — ascenders + capitals put more ink in a line's upper
+    tail than descenders put in its lower tail. Per detected line, the
+    top-third vs bottom-third ink of the row profile votes upright or
+    upside-down; the confidence is the winning-tail / losing-tail ink
+    ratio (comparable to the tesseract OSD ``orientation_conf`` the
+    acceptance rule ``rotation.osd_accept`` gates at > 3.0, ref
+    ``ocr/ocr.py:28-77, 240-241``).
+
+    Returns (0 or 180, confidence). Lines without tail asymmetry (e.g.
+    uniform char-box rasters from the IR renderer) yield confidence ≈ 1
+    — below the gate, so the caller keeps the page as-is."""
+    thr = otsu_threshold(img)
+    binary = img <= thr
+    rows = binary.sum(axis=1).astype(np.float64)
+    if rows.sum() < 16:
+        return 0, 0.0
+    # low threshold so sparse ascender/descender rows join their line run
+    on = rows > max(rows.max() * 0.03, 1.0)
+    top_ink = bot_ink = 0.0
+    idx = np.flatnonzero(np.diff(np.concatenate(
+        [[0], on.astype(np.int8), [0]])))
+    for r0, r1 in zip(idx[::2], idx[1::2]):
+        if r1 - r0 < 6:               # too short to have tails
+            continue
+        p = rows[r0:r1]
+        # the x-height core is the dense band; the tails above/below it
+        # hold ascender vs descender ink
+        core = np.flatnonzero(p >= 0.5 * p.max())
+        c0, c1 = int(core[0]), int(core[-1])
+        top_ink += float(p[:c0].sum())
+        bot_ink += float(p[c1 + 1:].sum())
+    if top_ink <= 0 and bot_ink <= 0:
+        return 0, 0.0
+    if top_ink >= bot_ink:
+        return 0, round(min(top_ink / (bot_ink + 1e-9), 99.0), 3)
+    return 180, round(min(bot_ink / (top_ink + 1e-9), 99.0), 3)
+
+
+def detect_orientation_raster_full(img: np.ndarray) -> Tuple[int, float]:
+    """Full {0, 90, 180, 270} orientation: axis from the banding probe
+    (:func:`detect_orientation_raster`), then the 180° ascender/
+    descender vote on the axis-corrected raster. Confidence is the
+    weaker of the two stages (conservative input to ``osd_accept``)."""
+    axis, axis_conf = detect_orientation_raster(img)
+    upright = rotate_image_array(img, -90) if axis == 90 else img
+    flip, flip_conf = detect_flip_raster(upright)
+    deg = (axis + flip) % 360
+    return deg, round(min(axis_conf if axis else 99.0, flip_conf), 3)
