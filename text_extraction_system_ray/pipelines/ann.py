@@ -508,6 +508,21 @@ def ivf_cosine_topk(sf_dir: str, k: int = _K, n_lists: int = 16,
 LSH_RECALL_BAR = 0.9
 IVF_RECALL_BAR = 0.8
 
+# exact-top-k memo: the three recall gates share one baseline per
+# corpus+k within a process (testdata is immutable; tmp corpora get
+# unique paths). Keeps the gates honest without paying the exact scan
+# three times per bench run.
+_EXACT_MEMO: dict = {}
+
+
+def _exact_topk_cached(sf_dir: str, k: int) -> pd.DataFrame:
+    key = (sf_dir, k)
+    if key not in _EXACT_MEMO:
+        if len(_EXACT_MEMO) > 8:
+            _EXACT_MEMO.clear()
+        _EXACT_MEMO[key] = cosine_topk(sf_dir, k)
+    return _EXACT_MEMO[key]
+
 
 def _recall_frame(ann_df: pd.DataFrame, exact_df: pd.DataFrame,
                   k: int, bar: float) -> pd.DataFrame:
@@ -524,20 +539,20 @@ def _recall_frame(ann_df: pd.DataFrame, exact_df: pd.DataFrame,
 def lsh_recall_vs_exact(sf_dir: str, k: int = _K,
                         bar: float = LSH_RECALL_BAR) -> pd.DataFrame:
     """(query_id, k, recall_floor) — green iff LSH recall ≥ bar/query."""
-    return _recall_frame(lsh_cosine_topk(sf_dir, k), cosine_topk(sf_dir, k),
-                         k, bar)
+    return _recall_frame(lsh_cosine_topk(sf_dir, k),
+                         _exact_topk_cached(sf_dir, k), k, bar)
 
 
 def ivf_recall_vs_exact(sf_dir: str, k: int = _K,
                         bar: float = IVF_RECALL_BAR) -> pd.DataFrame:
     """(query_id, k, recall_floor) — green iff flat-IVF recall ≥ bar."""
-    return _recall_frame(ivf_cosine_topk(sf_dir, k), cosine_topk(sf_dir, k),
-                         k, bar)
+    return _recall_frame(ivf_cosine_topk(sf_dir, k),
+                         _exact_topk_cached(sf_dir, k), k, bar)
 
 
 def ivf_index_recall_vs_exact(sf_dir: str, k: int = _K,
                               bar: float = IVF_RECALL_BAR) -> pd.DataFrame:
     """(query_id, k, recall_floor) — green iff partitioned-index IVF
     recall ≥ bar (exercises build → partitioned pruned read → top-k)."""
-    return _recall_frame(ivf_index_topk(sf_dir, k), cosine_topk(sf_dir, k),
-                         k, bar)
+    return _recall_frame(ivf_index_topk(sf_dir, k),
+                         _exact_topk_cached(sf_dir, k), k, bar)

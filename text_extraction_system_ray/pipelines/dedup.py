@@ -359,29 +359,42 @@ SMALL_VERIFY_SHINGLE_BYTE_LIMIT = 256 * 1024 * 1024
 _last_small_verify_stats: dict = {}
 
 
-def _candidate_shingle_sets(sf_dir: str, need: np.ndarray):
+def _candidate_shingle_sets(sf_dir: str, need: np.ndarray,
+                            sig_ds: Optional["ray.data.Dataset"] = None):
     """Shingle-hash sets for ONLY the candidate docs in ``need``.
 
     Filters with ``pc.is_in`` where the data lives (same discipline as
     ``_verify_pairs_distributed``) so the driver never holds more than
-    O(candidates) shingle bytes. Returns ``None`` when even the
-    candidate sets exceed ``SMALL_VERIFY_SHINGLE_BYTE_LIMIT`` measured
-    on the materialized dataset — the caller must verify distributed."""
+    O(candidates) shingle bytes. ``sig_ds`` — a materialized dataset
+    already carrying (doc_id, shingles) — avoids re-reading and
+    re-shingling the corpus; without it the corpus is scanned once.
+    Returns ``None`` when even the candidate sets exceed
+    ``SMALL_VERIFY_SHINGLE_BYTE_LIMIT`` measured on the materialized
+    filtered dataset — the caller must verify distributed."""
     need_ref = ray.put(np.asarray(need, np.int64))
 
-    def shingle_rows(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t["doc_id"], value_set=pa.array(ray.get(need_ref)))
-        t = t.filter(mask)
-        texts = t.column("text").to_pylist()
-        flat, ptr = _shingle_batch(texts)
-        sh = pa.ListArray.from_arrays(
-            pa.array(ptr, pa.int32()),
-            pa.array(flat.view(np.int64), pa.int64()))
-        return pa.table({"doc_id": t["doc_id"], "shingles": sh})
+    if sig_ds is not None:
+        def filt(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["doc_id"],
+                            value_set=pa.array(ray.get(need_ref)))
+            return t.filter(mask).select(["doc_id", "shingles"])
 
-    mat = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
-        .map_batches(shingle_rows, batch_format="pyarrow").materialize()
+        mat = sig_ds.map_batches(filt, batch_format="pyarrow").materialize()
+    else:
+        def shingle_rows(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["doc_id"],
+                            value_set=pa.array(ray.get(need_ref)))
+            t = t.filter(mask)
+            texts = t.column("text").to_pylist()
+            flat, ptr = _shingle_batch(texts)
+            sh = pa.ListArray.from_arrays(
+                pa.array(ptr, pa.int32()),
+                pa.array(flat.view(np.int64), pa.int64()))
+            return pa.table({"doc_id": t["doc_id"], "shingles": sh})
+
+        mat = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+            .map_batches(shingle_rows, batch_format="pyarrow").materialize()
     nbytes = mat.size_bytes() or 0
     _last_small_verify_stats.update(
         candidate_docs=int(len(need)), fetched_rows=int(mat.count()),
@@ -441,8 +454,16 @@ def minhash_neardups(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
                           "doc_b": pd.Series([], dtype="int64"),
                           "jaccard": pd.Series([], dtype="float64")})
     if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
-        # pass 1: compact band keys only → candidate pairs
-        sig = _minhash_small(sf_dir)
+        # one scan: band keys + shingles computed together; shingles stay
+        # MATERIALIZED in the object store — only the compact band keys
+        # come to the driver here
+        sig_ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+            .map_batches(MinhashDocSigs,
+                         fn_constructor_kwargs={"with_shingles": True},
+                         batch_format="pyarrow", concurrency=(1, 8)) \
+            .materialize()
+        sig = sig_ds.select_columns(["doc_id", "band_keys"]).to_pandas()
         if sig.empty:
             return empty
         pairs = _pairs_from_keys(
@@ -450,10 +471,11 @@ def minhash_neardups(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
             np.stack(sig["band_keys"].to_numpy()).astype(np.int64))
         if pairs.empty:
             return empty
-        # pass 2: shingles for CANDIDATE docs only, byte-guarded
+        # shingles for CANDIDATE docs only, byte-guarded, from the
+        # already-materialized blocks (no second corpus scan)
         need = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
                                          pairs["doc_b"].to_numpy()]))
-        sets = _candidate_shingle_sets(sf_dir, need)
+        sets = _candidate_shingle_sets(sf_dir, need, sig_ds=sig_ds)
         if sets is not None:
             return _verify_pairs_small(pairs, sets, threshold, empty)
         return _verify_pairs_distributed(sf_dir, pairs, threshold, empty)
@@ -576,13 +598,15 @@ def _verify_pairs_distributed(sf_dir: str, pairs: pd.DataFrame,
 
 
 # ---------------------------------------------------------------- simhash
-def _md5_token_hash_batch(texts: List[Optional[str]]
+def _md5_token_hash_batch(texts: List[Optional[str]],
+                          cache: Optional[dict] = None
                           ) -> Tuple[np.ndarray, np.ndarray]:
     """Token hashes as the high 64 bits of ``md5(token)`` — the one hash
     DuckDB reproduces bit-exactly (``CAST('0x' || substr(md5(w),1,16) AS
     UBIGINT)``), making the simhash itself SQL-checkable. md5 runs only
     on the batch's UNIQUE tokens (vocabulary ≪ token count); the flat
-    token array is rebuilt by ``np.unique`` inverse indexing."""
+    token array is rebuilt by ``np.unique`` inverse indexing. ``cache``
+    (per-actor dict) skips re-hashing vocabulary shared across batches."""
     tok_lists = [(t or "").lower().split() for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
     ptr = np.zeros(len(tok_lists) + 1, np.int64)
@@ -592,9 +616,16 @@ def _md5_token_hash_batch(texts: List[Optional[str]]
         return np.empty(0, np.uint64), ptr
     uniq, inv = np.unique(np.asarray(flat, dtype=object),
                           return_inverse=True)
-    uh = np.fromiter(
-        (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big")
-         for u in uniq), np.uint64, len(uniq))
+    if cache is None:
+        cache = {}
+    uh = np.empty(len(uniq), np.uint64)
+    for i, u in enumerate(uniq):
+        v = cache.get(u)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8],
+                               "big")
+            cache[u] = v
+        uh[i] = v
     return uh[inv], ptr
 
 
@@ -606,9 +637,12 @@ class SimhashStage:
 
     _SHIFTS = np.arange(64, dtype=np.uint64)
 
+    def __init__(self):
+        self._md5_cache: dict = {}   # per-actor vocabulary cache
+
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
-        th, ptr = _md5_token_hash_batch(texts)
+        th, ptr = _md5_token_hash_batch(texts, self._md5_cache)
         n_docs = len(ptr) - 1
         out = np.zeros(n_docs, np.uint64)
         if th.size:

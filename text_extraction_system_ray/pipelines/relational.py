@@ -333,53 +333,62 @@ def events_sessionize(sf_dir: str,
 
     A single ``groupby(user).map_groups`` materializes one user's FULL
     history in one task — fine until a hot key owns millions of events.
-    Instead: (1) ``groupby(user, time_bucket)`` sessionizes within fixed
-    time buckets, so the largest group is bounded by one bucket's events
-    for one user, not the user's lifetime; (2) per-bucket session
+    Instead: (1) group by ``(user_hash % P, time_bucket)`` — the
+    largest group is bounded by one bucket's share of one hash
+    partition, not a user's lifetime — and sessionize ALL users in the
+    group with one vectorized pandas pass (per-group Python overhead is
+    O(P·buckets), not O(users·buckets)); (2) per-bucket session
     summaries (orders of magnitude fewer rows than events) are stitched
-    per user — adjacent sessions whose boundary gap ≤ 30 min merge,
-    exactly reproducing the single-pass result because sessionization is
-    associative under time-ordered splits. The second shuffle moves only
-    session summaries, never events."""
+    per hash partition, again vectorized across users — adjacent
+    sessions whose boundary gap ≤ 30 min merge, exactly reproducing the
+    single-pass result because sessionization is associative under
+    time-ordered splits. The second shuffle moves only session
+    summaries, never events."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_id", "ts", "value"])
     bucket_ns = int(bucket_hours) * 3_600 * 10**9
+    P = 64   # hash partitions: enough parallelism, few enough groups
+    gap = pd.Timedelta(minutes=30)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
+    def add_keys(t: pa.Table) -> pa.Table:
         ts = t["ts"].cast(pa.timestamp("ns"))
         b = pc.divide(ts.cast(pa.int64()), bucket_ns)
-        return t.append_column("bucket", pc.cast(b, pa.int64()))
+        t = t.append_column("bucket", pc.cast(b, pa.int64()))
+        part = pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int32())
+        return t.append_column("part", part)
 
     def sess_partial(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        g["sid"] = gap.cumsum().astype("int64")
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new = (g["user_id"] != g["user_id"].shift()) | \
+            (g["ts"].diff() > gap)
+        sid = new.cumsum()
         g["val_c"] = scaled_int(g["value"], 6)
-        out = g.groupby("sid", as_index=False).agg(
+        out = g.groupby(sid.to_numpy(), as_index=False).agg(
+            user_id=("user_id", "first"), part=("part", "first"),
             n_events=("event_id", "size"), start_ts=("ts", "min"),
             end_ts=("ts", "max"), val_c=("val_c", "sum"))
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out.drop(columns=["sid"])
+        return out
 
     def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["start_ts", "end_ts"]).reset_index(drop=True)
-        new = (g["start_ts"] - g["end_ts"].shift()) > \
-            pd.Timedelta(minutes=30)
-        new.iloc[0] = True
-        sid = new.cumsum() - 1
-        out = g.groupby(sid, as_index=False).agg(
+        g = g.sort_values(["user_id", "start_ts", "end_ts"])
+        new = (g["user_id"] != g["user_id"].shift()) | \
+            ((g["start_ts"] - g["end_ts"].shift()) > gap)
+        sid = new.cumsum()
+        out = g.groupby(sid.to_numpy(), as_index=False).agg(
             user_id=("user_id", "first"), n_events=("n_events", "sum"),
             start_ts=("start_ts", "min"), end_ts=("end_ts", "max"),
             val_c=("val_c", "sum"))
-        out.insert(1, "session_id", np.arange(len(out), dtype="int64"))
+        out = out.sort_values(["user_id", "start_ts"])
+        out["session_id"] = out.groupby("user_id").cumcount() \
+            .astype("int64")
         out["sum_value"] = round_half_up(out["val_c"] / 1e6, 2)
         return out[["user_id", "session_id", "n_events", "start_ts",
                     "end_ts", "sum_value"]]
 
-    partial = ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby(["user_id", "bucket"]) \
+    partial = ds.map_batches(add_keys, batch_format="pyarrow") \
+        .groupby(["part", "bucket"]) \
         .map_groups(sess_partial, batch_format="pandas")
-    return partial.groupby("user_id").map_groups(
+    return partial.groupby("part").map_groups(
         stitch, batch_format="pandas").to_pandas()
 
 
