@@ -97,10 +97,13 @@ def cosine_topk(sf_dir: str, k: int = _K) -> pd.DataFrame:
                           ascending=[False, True]).head(k)
         return g
 
-    return partials.groupby("query_id").map_groups(
+    out = partials.groupby("query_id").map_groups(
         final_topk, batch_format="pandas").to_pandas() \
         .sort_values(["query_id", "cos", "vec_id"],
                      ascending=[True, False, True]).reset_index(drop=True)
+    if len(_EXACT_MEMO) <= 8:      # feed the recall gates' baseline memo
+        _EXACT_MEMO[(sf_dir, k)] = out
+    return out
 
 
 def lsh_cosine_topk(sf_dir: str, k: int = _K,

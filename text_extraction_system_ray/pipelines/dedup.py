@@ -149,7 +149,14 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
 
 # ------------------------------------------------------------- exact dedup
 def exact_dedup(sf_dir: str) -> pd.DataFrame:
-    """One row per distinct text: (text_hash, keep_doc_id=min, n_dups)."""
+    """One row per distinct text: (text_hash, keep_doc_id=min, n_dups).
+
+    Hashing happens where the data lives; only (hash, doc_id) pairs —
+    40 B/row, never text — leave the map stage. Adaptive finish (the
+    same pattern as the minhash band grouping): below
+    DRIVER_GROUP_DOC_LIMIT the compact pair table reduces on the driver
+    (a distributed all-to-all on 40 B rows costs more than it moves);
+    above it the ``groupby(hash)`` shuffle runs."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -160,6 +167,10 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
                          "doc_id": t["doc_id"]})
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
+        df = hashed.to_pandas()
+        return df.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
     return hashed.groupby("text_hash").aggregate(
         Min("doc_id", alias_name="keep_doc_id"),
         Count(alias_name="n_dups")).to_pandas()
