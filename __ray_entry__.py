@@ -24,6 +24,7 @@ from text_extraction_system_ray.pipelines import fontcheck as _fontcheck
 from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
+from text_extraction_system_ray.pipelines import retrieval as _ret
 from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines.extraction import extract_dataset
 from text_extraction_system_ray.sources.pages import synth_pages
@@ -95,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _ts.quality_score,
         "lang_id": _ts.lang_id,
         "fingerprint": _ts.fingerprint,
+        # retrieval / corpus shaping (both SQL-checked)
+        "bm25_topk": _ret.bm25_topk,
+        "stratified_sample": _ret.stratified_sample,
         # similarity search
         "ann_cosine_topk": _ann.cosine_topk,                # SQL-checked
         # approximate methods emit per-query recall-vs-exact floored at
@@ -533,6 +537,59 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
                          vec_id) <= 10
+        """,
+        # Okapi BM25 over word tokens for the fixed query-term set —
+        # identical formula/association order as retrieval.bm25_topk,
+        # ranking on the unrounded score with doc_id tie-break
+        "bm25_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), d AS (
+                SELECT doc_id, len(w) AS dl,
+                       len(list_filter(w, x -> x = 'spark'))  AS tf0,
+                       len(list_filter(w, x -> x = 'window')) AS tf1,
+                       len(list_filter(w, x -> x = 'join'))   AS tf2
+                FROM tok
+            ), s AS (
+                SELECT count(*) AS n,
+                       sum(dl) * 1.0 / count(*) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM d
+            ), scored AS (
+                SELECT doc_id,
+                       CASE WHEN tf0 > 0 THEN
+                         ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * 2.2
+                           / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       ELSE 0 END
+                     + CASE WHEN tf1 > 0 THEN
+                         ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2
+                           / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       ELSE 0 END
+                     + CASE WHEN tf2 > 0 THEN
+                         ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2
+                           / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       ELSE 0 END AS s_raw
+                FROM d, s
+            )
+            SELECT doc_id, ROUND(s_raw, 4) AS score
+            FROM scored ORDER BY s_raw DESC, doc_id LIMIT 10
+        """,
+        # deterministic per-language hash sampling — same md5-low64
+        # decision function as retrieval.stratified_sample
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT) % 100
+                  < CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 20
+                              WHEN 'zh' THEN 20 WHEN 'fr' THEN 20
+                              WHEN 'es' THEN 20 ELSE 100 END
+            ORDER BY doc_id
         """,
         # recall gates: the Ray side computes per-query recall of the
         # approximate method against the exact top-k and floors it at

@@ -112,6 +112,7 @@ def run_queries() -> dict:
               "dedup_exact", "dedup_minhash_neardups", "dedup_simhash",
               "token_count", "quality_score", "lang_id", "fingerprint",
               "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_index_topk",
+              "bm25_topk", "stratified_sample", "curate_corpus",
               "embedding_neardups", "realfont_roundtrip",
               "image_metadata", "video_frame_sample",
               "audio_metadata_summary"]

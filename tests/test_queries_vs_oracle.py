@@ -72,7 +72,7 @@ def test_all_queries_run(entrymod):
     # r3 additions: simhash recomputed independently in SQL; ANN recall
     # gates (oracle = the constant bar per query)
     "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index_topk",
-    "fingerprint",
+    "fingerprint", "bm25_topk", "stratified_sample",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

@@ -304,3 +304,37 @@ def test_curate_pipeline_stages_behave(ray_session, dup_dir):
     assert 101 not in ids        # exact dup of 100
     assert 102 not in ids        # exact dup of 100
     assert 103 not in ids        # near dup (one-word diff)
+
+
+def test_bm25_ranks_by_term_density(ray_session, tmp_path):
+    """BM25 behavioral pin: a doc saturated with the query terms ranks
+    above one that merely mentions them; docs without the terms score 0
+    and never enter the top-k."""
+    from text_extraction_system_ray.pipelines.retrieval import bm25_topk
+    d = tmp_path / "bm"
+    d.mkdir()
+    texts = ["spark window join " * 20,
+             "spark appears once in this much longer document " + "x " * 80,
+             "nothing relevant here at all " * 10]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * 3, pa.string())})
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = bm25_topk(str(d), k=3)
+    assert out["doc_id"].tolist()[0] == 0
+    assert 2 not in set(out.loc[out["score"] > 0, "doc_id"])
+
+
+def test_stratified_sample_rates(ray_session):
+    """Sampling is deterministic and per-language rates land near their
+    targets on the sf0.01 corpus."""
+    from text_extraction_system_ray.pipelines.retrieval import (
+        stratified_sample)
+    sf = "/root/testdata/sf0.01"
+    a = stratified_sample(sf)
+    b = stratified_sample(sf)
+    pd.testing.assert_frame_equal(a, b)          # deterministic
+    counts = a.groupby("lang").size()
+    # en downsampled to 5% of 218 -> single digits; tail langs ~20%
+    assert counts.get("en", 0) < 25
+    assert counts.get("de", 0) >= 5
