@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_semi_join": _rel.customers_with_f_orders,
         "customers_anti_join": _rel.customers_without_big_orders,
         "union_all_keys": _rel.union_all_keys,
+        "order_price_quantiles": _rel.order_price_quantiles,
+        "top_orders_per_segment": _rel.top_orders_per_segment,
         # dedup family
         "dedup_exact": _dedup.exact_dedup,                  # SQL-checked
         "dedup_minhash_candidates": _dedup.minhash_candidates,
@@ -537,6 +539,24 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
                          vec_id) <= 10
+        """,
+        # exact grouped quantiles (value-count reconstruction =
+        # quantile_cont linear interpolation)
+        "order_price_quantiles": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rn <= 3
         """,
         # Okapi BM25 over word tokens for the fixed query-term set —
         # identical formula/association order as retrieval.bm25_topk,

@@ -78,6 +78,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", [
     "revenue_by_nation", "lineitem_orders_join", "lineitem_orders_join_native",
+    "top_orders_per_segment",
 ])
 def test_orphan_keys_match_inner_join_oracle(ray_session, dirty_dir,
                                              dirty_ddb, name):

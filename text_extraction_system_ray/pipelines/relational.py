@@ -588,3 +588,113 @@ def events_sliding_window(sf_dir: str) -> pd.DataFrame:
     out["sum_value"] = round_half_up(out["val_c"] / 1e6, 2)
     out["w_start"] = pd.to_datetime(out["w_start"], unit="us")
     return out[["event_type", "w_start", "n_events", "sum_value"]]
+
+
+# ----------------------------------------------------- grouped quantiles
+def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles (p50/p90/p99 of o_totalprice by
+    o_orderpriority) — the distributed-quantile shape that scales.
+
+    A naive ``groupby(key).map_groups(np.quantile)`` ships every row of
+    a group to one task (20% of the corpus per group here). Instead the
+    value domain is exploited: per-batch (priority, price) value COUNTS
+    pre-aggregate in ``map_batches``, the shuffle moves only distinct
+    (priority, price, count) rows, and the exact order statistics (with
+    linear interpolation, DuckDB ``quantile_cont`` semantics) are
+    reconstructed from cumulative counts on the driver — exact answers,
+    shuffle bytes proportional to the value-domain size, never the row
+    count."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "price": t["o_totalprice"].to_numpy()}) \
+            .groupby(["o_orderpriority", "price"], as_index=False) \
+            .agg(cnt=("price", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderpriority", "price"]).aggregate(
+            Sum("cnt", alias_name="cnt")).to_pandas()
+
+    rows = []
+    for prio, g in counts.groupby("o_orderpriority"):
+        g = g.sort_values("price")
+        v = g["price"].to_numpy(np.float64)
+        c = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def q_at(q: float) -> float:
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            # order statistic k lives at the first cum index > k
+            v_lo = v[np.searchsorted(cum, lo, side="right")]
+            v_hi = v[np.searchsorted(cum, hi, side="right")]
+            return float(v_lo + (pos - lo) * (v_hi - v_lo))
+
+        rows.append((prio, round_half_up(q_at(0.5), 4),
+                     round_half_up(q_at(0.9), 4),
+                     round_half_up(q_at(0.99), 4)))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "p50", "p90",
+                                       "p99"]) \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------- per-group top-k
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k orders by totalprice per customer market segment: the
+    broadcast dim join (custkey → int8 segment code) + per-batch
+    partial top-k per group + tiny final reduce — no row-count-sized
+    shuffle, ties broken by o_orderkey asc like the SQL window."""
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = cust["c_mktsegment"].to_pandas()
+    cats = np.asarray(sorted(seg.unique()))
+    codes = pd.Categorical(seg, categories=cats).codes.astype(np.int8)
+    keys = cust["c_custkey"].to_numpy()
+    order_idx = np.argsort(keys, kind="stable")
+    side_ref = ray.put((keys[order_idx], codes[order_idx]))
+
+    class SegTopK:
+        def __init__(self):
+            self.keys, self.codes = ray.get(side_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            code, ok = _probe_sorted(self.keys, self.codes, ck)
+            code = code[ok]
+            price = t["o_totalprice"].to_numpy()[ok]
+            okey = t["o_orderkey"].to_numpy()[ok]
+            outs = []
+            for c in np.unique(code):
+                m = code == c
+                o = np.lexsort((okey[m], -price[m]))[:k]
+                outs.append(pd.DataFrame({
+                    "seg": c, "o_orderkey": okey[m][o],
+                    "o_totalprice": price[m][o]}))
+            g = pd.concat(outs, ignore_index=True) if outs else \
+                pd.DataFrame({"seg": pd.Series([], dtype="int8"),
+                              "o_orderkey": pd.Series([], dtype="int64"),
+                              "o_totalprice": pd.Series([], dtype="float64")})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    parts = ds.map_batches(SegTopK, batch_format="pyarrow",
+                           concurrency=(1, 4)).to_pandas()
+    outs = []
+    for c, g in parts.groupby("seg"):
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        outs.append(g)
+    out = pd.concat(outs, ignore_index=True)
+    out["c_mktsegment"] = cats[out["seg"].to_numpy()]
+    return out[["c_mktsegment", "o_orderkey", "o_totalprice"]] \
+        .sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                     ascending=[True, False, True]).reset_index(drop=True)
