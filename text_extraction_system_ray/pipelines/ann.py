@@ -262,7 +262,15 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
     near-diagonal tiles. Diagonal tiles always run. At 100-TB scale the
     same cap-bound tiling holds per partition-pair, turning the O(B²)
     tile enumeration into O(B²) cheap bound checks + O(near tiles)
-    matmuls. ``_last_tile_stats`` records total/evaluated/skipped."""
+    matmuls. ``_last_tile_stats`` records total/evaluated/skipped.
+
+    **Adaptive packing**: the cluster sort is itself an all-to-all, so
+    it only runs when the k-means SAMPLE says some tiles would actually
+    skip (angularly clustered data). On unclustered corpora — sample
+    cap radii near 90°, no skippable pairs — the plan falls back to
+    plain order-preserving blocks: same exact result, no wasted sort.
+    The decision needs only the bounded sample already read for the
+    quantizer."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
@@ -270,9 +278,32 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
     batch = next(pf.iter_batches(batch_size=4096, columns=["embedding"]))
     sample = _normalize(_embs(pa.table(batch)["embedding"]))
     centroids = _kmeans_lite(sample, n_blocks)
-    cent_ref = ray.put(centroids)
+    skip_below = threshold - 1e-6   # 6-dp round_half_up safety margin
+
+    # sample-estimated caps per cluster → would ANY tile skip?
+    assign = np.argmax(sample @ centroids.T, axis=1)
+    sample_caps = []
+    for c in range(len(centroids)):
+        members = sample[assign == c]
+        if len(members):
+            sample_caps.append((centroids[c],
+                                float(np.min(members @ centroids[c]))))
+    est_skips = sum(
+        1 for i in range(len(sample_caps))
+        for j in range(i + 1, len(sample_caps))
+        if _tile_cos_upper_bound(sample_caps[i],
+                                 sample_caps[j]) < skip_below)
+    cluster_pack = est_skips > 0
 
     def pack(t: pa.Table) -> pa.Table:
+        m = _normalize(_embs(t["embedding"]))
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), m.shape[1])
+        return pa.table({"vec_id": t["vec_id"], "emb": emb})
+
+    cent_ref = ray.put(centroids)
+
+    def pack_clustered(t: pa.Table) -> pa.Table:
         m = _normalize(_embs(t["embedding"]))
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(m.ravel(), pa.float64()), m.shape[1])
@@ -280,12 +311,18 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
         return pa.table({"vec_id": t["vec_id"], "emb": emb,
                          "blk": pa.array(blk, pa.int32())})
 
-    packed = ds.map_batches(pack, batch_format="pyarrow") \
-        .sort("blk").repartition(n_blocks)
+    if cluster_pack:
+        packed = ds.map_batches(pack_clustered, batch_format="pyarrow") \
+            .sort("blk").repartition(n_blocks)
+    else:
+        packed = ds.map_batches(pack, batch_format="pyarrow") \
+            .repartition(n_blocks)
     refs = packed.to_arrow_refs()
-    caps = ray.get([_block_cap.remote(r) for r in refs])
+    # per-block cap RPCs only pay off on the clustered plan; the plain
+    # plan evaluates every tile (stats record that honestly)
+    caps = ray.get([_block_cap.remote(r) for r in refs]) if cluster_pack \
+        else [True] * len(refs)
 
-    skip_below = threshold - 1e-6   # 6-dp round_half_up safety margin
     tasks = []
     n_skipped = 0
     for i in range(len(refs)):
@@ -294,7 +331,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
         for j in range(i, len(refs)):
             if caps[j] is None:
                 continue
-            if i != j and _tile_cos_upper_bound(
+            if cluster_pack and i != j and _tile_cos_upper_bound(
                     caps[i], caps[j]) < skip_below:
                 n_skipped += 1
                 continue
