@@ -153,7 +153,8 @@ class LangId:
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=256,
+                          concurrency=(1, 12))
 
 
 def fingerprint(sf_dir: str, k: int = 8, n_keep: int = 4) -> ray.data.Dataset:
