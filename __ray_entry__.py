@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_all_keys": _rel.union_all_keys,
         "order_price_quantiles": _rel.order_price_quantiles,
         "top_orders_per_segment": _rel.top_orders_per_segment,
+        "orders_customer_left_join": _rel.orders_customer_left_join,
         # dedup family
         "dedup_exact": _dedup.exact_dedup,                  # SQL-checked
         "dedup_minhash_candidates": _dedup.minhash_candidates,
@@ -539,6 +540,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
                          vec_id) <= 10
+        """,
+        # left-outer join: unmatched orders keep a bucket of their own
+        "orders_customer_left_join": """
+            SELECT COALESCE(c.c_mktsegment, 'UNMATCHED') AS c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS revenue
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         # exact grouped quantiles (value-count reconstruction =
         # quantile_cont linear interpolation)

@@ -78,7 +78,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", [
     "revenue_by_nation", "lineitem_orders_join", "lineitem_orders_join_native",
-    "top_orders_per_segment",
+    "top_orders_per_segment", "orders_customer_left_join",
 ])
 def test_orphan_keys_match_inner_join_oracle(ray_session, dirty_dir,
                                              dirty_ddb, name):
@@ -89,6 +89,19 @@ def test_orphan_keys_match_inner_join_oracle(ray_session, dirty_dir,
     want = dirty_ddb.execute(__ray_entry__.oracle_sql()[name]).fetchdf()
     pd.testing.assert_frame_equal(_norm(got), _norm(want),
                                   check_dtype=False)
+
+
+def test_left_join_unmatched_bucket(ray_session, dirty_dir, dirty_ddb):
+    """Orphan custkeys land in the UNMATCHED bucket (left-outer
+    semantics), in BOTH physical plans."""
+    from text_extraction_system_ray.pipelines.relational import (
+        _orders_customer_left_join_native, orders_customer_left_join)
+    got = orders_customer_left_join(dirty_dir)
+    assert "UNMATCHED" in set(got["c_mktsegment"])
+    assert int(got.loc[got["c_mktsegment"] == "UNMATCHED",
+                       "n_orders"].iloc[0]) == 5
+    nat = _orders_customer_left_join_native(dirty_dir)
+    pd.testing.assert_frame_equal(_norm(got), _norm(nat), check_dtype=False)
 
 
 def test_sessionize_hot_key_bounded_groups(ray_session, tmp_path):

@@ -698,3 +698,82 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out[["c_mktsegment", "o_orderkey", "o_totalprice"]] \
         .sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
                      ascending=[True, False, True]).reset_index(drop=True)
+
+
+# ------------------------------------------------------ outer joins
+def orders_customer_left_join(sf_dir: str) -> pd.DataFrame:
+    """Left-outer fact⋈dim join: every order survives; orders whose
+    custkey has no customer row get a NULL segment bucketed as
+    'UNMATCHED' — the dirty-data shape the missing-key-safe broadcast
+    probe enables (``_probe_sorted`` ok-mask routes misses to the null
+    bucket instead of dropping or mis-joining them). Aggregated to
+    (segment, n_orders, revenue) so the result is compact at any scale;
+    the native ``Dataset.join(join_type='left_outer')`` is the shuffle
+    fallback above the broadcast guard."""
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    if cust.num_rows > BROADCAST_CUST_LIMIT:
+        return _orders_customer_left_join_native(sf_dir)
+    seg = cust["c_mktsegment"].to_pandas()
+    cats = np.asarray(sorted(seg.unique()))
+    codes = pd.Categorical(seg, categories=cats).codes.astype(np.int8)
+    keys = cust["c_custkey"].to_numpy()
+    order_idx = np.argsort(keys, kind="stable")
+    side_ref = ray.put((keys[order_idx], codes[order_idx]))
+
+    class LeftAgg:
+        def __init__(self):
+            self.keys, self.codes = ray.get(side_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy()
+            code, ok = _probe_sorted(self.keys, self.codes, ck)
+            code = np.where(ok, code.astype(np.int16), -1)  # -1 = miss
+            price_c = scaled_int(t["o_totalprice"].to_numpy(), 2)
+            g = pd.DataFrame({"code": code, "price_c": price_c}) \
+                .groupby("code", as_index=False) \
+                .agg(price_c=("price_c", "sum"),
+                     n_orders=("price_c", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    out = ds.map_batches(LeftAgg, batch_format="pyarrow",
+                         concurrency=(1, 4)) \
+        .groupby("code").aggregate(
+            Sum("price_c", alias_name="price_c"),
+            Sum("n_orders", alias_name="n_orders")).to_pandas()
+    segs = np.where(out["code"].to_numpy() >= 0,
+                    cats[np.maximum(out["code"].to_numpy(), 0)],
+                    "UNMATCHED")
+    out["c_mktsegment"] = segs
+    out["revenue"] = round_half_up(out["price_c"] / 100.0, 2)
+    return out[["c_mktsegment", "n_orders", "revenue"]] \
+        .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def _orders_customer_left_join_native(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-path left-outer join (above the broadcast guard)."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="left_outer", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["c_mktsegment"] = df["c_mktsegment"].fillna("UNMATCHED")
+        df["price_c"] = scaled_int(df["o_totalprice"], 2)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            price_c=("price_c", "sum"), n_orders=("price_c", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("price_c", alias_name="price_c"),
+            Sum("n_orders", alias_name="n_orders")).to_pandas()
+    out["revenue"] = round_half_up(out["price_c"] / 100.0, 2)
+    return out[["c_mktsegment", "n_orders", "revenue"]] \
+        .sort_values("c_mktsegment").reset_index(drop=True)
