@@ -125,3 +125,46 @@ def test_mutated_font_pdfs_never_crash():
         n_ok += r1["status"] == "ok"
         n_err += r1["status"] == "error"
     assert n_ok > 0 and n_err > 0    # fuzz hit both paths
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=400))
+def test_png_decoder_never_crashes_on_junk(payload):
+    """Arbitrary bytes (with or without a forged PNG signature) must
+    raise ValueError/NotImplementedError, never crash or hang."""
+    from text_extraction_system_ray.functions.png import (PNG_SIGNATURE,
+                                                          decode_png)
+    for data in (payload, PNG_SIGNATURE + payload):
+        try:
+            decode_png(data)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(1, 24), st.integers(1, 24),
+       st.sampled_from([None, 2, 3, 4]), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(w, h, ch, seed):
+    import numpy as np
+    from text_extraction_system_ray.functions.png import (decode_png,
+                                                          encode_png)
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch is None else (h, w, ch)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=300))
+def test_stream_data_never_crashes(body):
+    """_stream_data on arbitrary object bodies: returns bytes or None,
+    never raises (the extractor wraps it per stream)."""
+    from text_extraction_system_ray.functions.pdf_extract import _stream_data
+    out = _stream_data(b"<< /Length 12 0 R >>\nstream\n" + body +
+                       b"\nendstream")
+    assert out is None or isinstance(out, bytes)
+    _stream_data(body)

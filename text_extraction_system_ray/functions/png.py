@@ -100,9 +100,13 @@ def decode_png(data: bytes) -> np.ndarray:
     plte = None
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("png: truncated IHDR")
             width, height, bit_depth, color_type, _comp, _filt, interlace \
-                = struct.unpack(">IIBBBBB", body)
+                = struct.unpack_from(">IIBBBBB", body)
         elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("png: bad PLTE length")
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(body)
@@ -115,7 +119,11 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace != 0:
         raise ValueError("png: interlaced (Adam7) not supported")
     ch = _CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"png: bad IDAT stream: {e}")
+    raw = np.frombuffer(inflated, np.uint8)
     stride = width * ch
     if raw.size != height * (stride + 1):
         raise ValueError("png: inflated size mismatch")
