@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": _rel.order_price_quantiles,
         "top_orders_per_segment": _rel.top_orders_per_segment,
         "orders_customer_left_join": _rel.orders_customer_left_join,
+        "events_running_total": _rel.events_running_total,
         # dedup family
         "dedup_exact": _dedup.exact_dedup,                  # SQL-checked
         "dedup_minhash_candidates": _dedup.minhash_candidates,
@@ -540,6 +541,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
                          vec_id) <= 10
+        """,
+        # windowed aggregate: running total + sequence number per user,
+        # decimal accumulation mirrors the engine's scaled ints
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS seq,
+                   ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))
+                              OVER w AS DOUBLE), 2) AS running_total
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         # left-outer join: unmatched orders keep a bucket of their own
         "orders_customer_left_join": """

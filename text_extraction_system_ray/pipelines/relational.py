@@ -777,3 +777,39 @@ def _orders_customer_left_join_native(sf_dir: str) -> pd.DataFrame:
     out["revenue"] = round_half_up(out["price_c"] / 100.0, 2)
     return out[["c_mktsegment", "n_orders", "revenue"]] \
         .sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# --------------------------------------------------- window functions
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user running total over time (SQL ``SUM(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)``) plus the event's
+    per-user sequence number — the windowed-aggregate custom operator
+    (Ray Data has no window functions).
+
+    Physical plan: hash-partition by ``user_id % 64`` (the sessionize
+    pattern — O(P) groups, not O(users)); within a partition one
+    vectorized pandas pass sorts by (user, ts, event_id) and computes
+    grouped cumsum/cumcount for every user at once. Scaling note: a
+    single user's full history lands in one group here because a
+    running total is a sequential prefix; if one key outgrew a worker,
+    the time-bucket + per-bucket-offset stitch used by
+    ``events_sessionize`` applies the same way (carry = bucket sums)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts", "value"])
+    P = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int32())
+        return t.append_column("part", part)
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["val_c"] = scaled_int(g["value"], 6)
+        g["running_c"] = g.groupby("user_id")["val_c"].cumsum()
+        g["seq"] = g.groupby("user_id").cumcount().astype("int64") + 1
+        g["running_total"] = round_half_up(g["running_c"] / 1e6, 2)
+        return g[["user_id", "event_id", "seq", "running_total"]]
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(window, batch_format="pandas") \
+        .to_pandas().sort_values(["user_id", "seq"]).reset_index(drop=True)
