@@ -168,3 +168,15 @@ def test_stream_data_never_crashes(body):
                        b"\nendstream")
     assert out is None or isinstance(out, bytes)
     _stream_data(body)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=300))
+def test_jpeg_decoder_never_crashes_on_junk(payload):
+    from text_extraction_system_ray.functions.jpeg import decode_jpeg
+    for data in (payload, b"\xff\xd8" + payload):
+        try:
+            decode_jpeg(data)
+        except (ValueError, NotImplementedError):
+            pass

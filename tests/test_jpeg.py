@@ -1,0 +1,113 @@
+"""Baseline JPEG codec tests (functions/jpeg.py).
+
+The decoder is anchored on a HAND-BUILT bitstream using published
+canonical Huffman codes (not this repo's encoder), with an analytically
+known decoded output — plus bounded-error round-trips through the
+minimal encoder and decode-path integration with the raster kernels."""
+import struct
+
+import numpy as np
+import pytest
+
+from text_extraction_system_ray.functions.jpeg import (
+    STD_AC_LUMA, STD_DC_LUMA, decode_jpeg, encode_jpeg, is_jpeg)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht(tc, th, spec):
+    bits, huffval = spec
+    return _seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(huffval))
+
+
+def test_hand_built_dc_only_block():
+    """8×8 grayscale, quant table all ones, single DC coefficient D=64:
+    spatial = 128 + D/8 = 136 everywhere. Entropy bits hand-assembled
+    from the PUBLISHED canonical codes of the Annex K.3 tables
+    (DC cat7 = '11110', magnitude 64 = '1000000', AC EOB = '1010'),
+    so the decoder is checked against the spec, not our encoder."""
+    blob = b"\xff\xd8"
+    blob += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    blob += _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) +
+                 bytes([1, 0x11, 0]))
+    blob += _dht(0, 0, STD_DC_LUMA)
+    blob += _dht(1, 0, STD_AC_LUMA)
+    blob += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # 11110 1000000 1010 -> 0xF4 0x0A
+    blob += bytes([0xF4, 0x0A])
+    blob += b"\xff\xd9"
+    out = decode_jpeg(blob)
+    assert out.shape == (8, 8)
+    assert (out == 136).all(), out
+
+
+def test_constant_images_exact():
+    for val in (0, 60, 128, 200, 255):
+        img = np.full((16, 24), val, np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == img.shape
+        # DC quant step 16 -> worst-case DC error 8
+        assert np.abs(out.astype(int) - int(val)).max() <= 8
+
+
+def test_gray_roundtrip_bounded_error():
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = (128 + 60 * np.sin(yy / 6.0) * np.cos(xx / 7.0)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_rgb_roundtrip_bounded_error():
+    yy, xx = np.mgrid[0:24, 0:24]
+    rgb = np.stack([(128 + 80 * np.sin(yy / 5.0)).astype(np.uint8),
+                    (128 + 80 * np.cos(xx / 6.0)).astype(np.uint8),
+                    np.full((24, 24), 90, np.uint8)], axis=2)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 8.0
+
+
+def test_non_multiple_of_8_dims():
+    img = np.arange(13 * 21, dtype=np.uint8).reshape(13, 21) % 200
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (13, 21)
+
+
+def test_progressive_is_gated_junk_is_valueerror():
+    # SOF2 (progressive) -> NotImplementedError, clearly gated
+    blob = b"\xff\xd8" + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) +
+                              bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(blob)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")          # no SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(b"NOTAJPEG")
+    assert is_jpeg(b"\xff\xd8\xff\xe0") and not is_jpeg(b"\x89PNG")
+
+
+def test_jpeg_flows_through_raster_kernels():
+    """decode_l_image + skew detection accept a real JPEG — the same
+    integration the PNG path has (M6/M10 encoded-bitmap closure)."""
+    from text_extraction_system_ray.functions.raster import (
+        decode_l_image, detect_rotation_projection, rotate_image_array)
+    img = np.full((200, 150), 255, np.uint8)
+    for y0 in range(20, 180, 20):
+        img[y0:y0 + 8, 15:135] = 0
+    skewed = rotate_image_array(img, 5.0)
+    data = encode_jpeg(skewed)
+    dec = decode_l_image(data)
+    assert dec.shape == skewed.shape
+    got = detect_rotation_projection(dec)
+    assert abs(got - 5.0) <= 0.6, got
+
+
+def test_jpeg_through_multimodal_decode():
+    from text_extraction_system_ray.pipelines.multimodal import _decode_stub
+    img = np.full((12, 20), 99, np.uint8)
+    m = _decode_stub(encode_jpeg(img))
+    assert (m["width"], m["height"], m["channels"]) == (20, 12, 1)
+    assert m["mode"] == "L"

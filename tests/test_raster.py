@@ -56,11 +56,13 @@ def test_skew_detection_on_rotated_text():
 
 
 def test_detect_rotation_raster_rejects_unsupported_formats():
-    # JPEG is still env-gated; malformed PNG is a decode error, not a gate
+    # GIF stays env-gated; malformed PNG/JPEG are decode errors, not gates
     with pytest.raises(NotImplementedError):
-        detect_rotation_raster(b"\xff\xd8\xff\xe0" + bytes(64))
+        detect_rotation_raster(b"GIF89a" + bytes(64))
     with pytest.raises(ValueError):
         detect_rotation_raster(b"\x89PNG\r\n\x1a\n" + bytes(64))
+    with pytest.raises(ValueError):
+        detect_rotation_raster(b"\xff\xd8" + bytes(64))
 
 
 def test_png_codec_roundtrip_all_shapes():

@@ -1,0 +1,527 @@
+"""Baseline JPEG (SOF0) codec in pure numpy — no PIL/cv2/libjpeg.
+
+Implements the decode path of ITU-T T.81 (the public JPEG spec) for
+baseline sequential DCT images: marker parse (DQT/SOF0/DHT/SOS/DRI),
+byte-stuffed entropy bit reader with restart markers, canonical Huffman
+decode, dequantize → un-zigzag → 8×8 inverse DCT (orthonormal DCT-II
+matrix product), nearest-neighbor chroma upsampling (4:2:0 / 4:2:2 /
+4:4:4) and JFIF YCbCr→RGB. Closes the "encoded web bitmap" path for the
+most common web format the way ``functions/png.py`` did for PNG — the
+reference reaches the same entry points via PIL/pdf2image
+(``pdf/pdf.py:201-232``).
+
+A minimal encoder (4:4:4, standard Annex K quantization and Huffman
+tables, no subsampling) exists for fixtures and round-trip property
+tests; correctness is additionally anchored on HAND-BUILT spec cases
+whose decoded output is analytically known (constant-gray DC-only
+blocks), so the decoder is not graded against its own encoder alone.
+
+JPEG is lossy: round-trips assert bounded error, not equality.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# ----------------------------------------------------------- constants
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# Annex K.1 luminance / chrominance quantization tables (natural order
+# via zigzag application at use sites; stored here in zigzag order as
+# printed in the spec tables K.1/K.2 row-major natural order)
+STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS list of 16 counts, HUFFVAL)
+STD_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+STD_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal 8x8 DCT-II matrix: block_spatial = C.T @ coef @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * \
+            (np.sqrt(0.125) if _k == 0 else 0.5)
+
+
+def is_jpeg(data: Optional[bytes]) -> bool:
+    return bool(data) and data[:2] == b"\xff\xd8"
+
+
+# ------------------------------------------------------------- huffman
+def _build_huffman(bits: List[int], huffval: List[int]) -> Dict:
+    """Canonical Huffman per T.81 Annex C: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at markers (restarts handled by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) | 0
+                self.nbits += 8
+                continue
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < \
+                    len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    return              # restart marker: caller resyncs
+                else:
+                    # EOI / next segment: pad with zeros
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | byte
+            self.nbits += 8
+
+    def get_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            raise ValueError("jpeg: out of entropy data")
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def decode_symbol(self, table: Dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.get_bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def align_to_restart(self):
+        """Skip to just past the next RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and \
+                    0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("jpeg: missing restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ------------------------------------------------------------- decoder
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 array: (H, W) grayscale or
+    (H, W, 3) RGB. Raises ValueError on malformed input and
+    NotImplementedError for progressive/arithmetic/12-bit codestreams."""
+    if not is_jpeg(data):
+        raise ValueError("jpeg: bad SOI")
+    try:
+        return _parse_and_decode(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"jpeg: truncated segment: {e}")
+
+
+def _parse_and_decode(data: bytes) -> np.ndarray:
+    pos = 2
+    qtables: Dict[int, np.ndarray] = {}
+    htables: Dict[Tuple[int, int], Dict] = {}   # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    comps: List[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:                       # EOI
+            break
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: only baseline sequential (SOF0) is supported")
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                       # DQT
+            b = 0
+            while b < len(body):
+                prec = body[b] >> 4
+                tid = body[b] & 0x0F
+                if prec == 0:
+                    q = np.frombuffer(body[b + 1:b + 65],
+                                      np.uint8).astype(np.int64)
+                    b += 65
+                else:
+                    q = np.frombuffer(body[b + 1:b + 129],
+                                      ">u2").astype(np.int64)
+                    b += 129
+                if len(q) != 64:
+                    raise ValueError("jpeg: truncated DQT")
+                qtables[tid] = q
+        elif marker == 0xC0:                     # SOF0
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("jpeg: only 8-bit samples")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = (h, w, nc)
+        elif marker == 0xC4:                     # DHT
+            b = 0
+            while b < len(body):
+                tc = body[b] >> 4
+                th = body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                huffval = list(body[b + 17:b + 17 + n])
+                htables[(tc, th)] = _build_huffman(bits, huffval)
+                b += 17 + n
+        elif marker == 0xDD:                     # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:                     # SOS
+            ns = body[0]
+            for si in range(ns):
+                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["td"] = tables >> 4
+                        c["ta"] = tables & 0x0F
+            scan_pos = pos + 2 + seglen
+            return _decode_scan(data, scan_pos, frame, comps, qtables,
+                                htables, restart_interval)
+        pos += 2 + seglen
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _decode_scan(data, pos, frame, comps, qtables, htables,
+                 restart_interval) -> np.ndarray:
+    if frame is None or not comps:
+        raise ValueError("jpeg: SOS before SOF")
+    h, w, nc = frame
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: zero dimension")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("jpeg: bad sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                               np.float64))
+        if c["tq"] not in qtables:
+            raise ValueError("jpeg: missing quant table")
+        c["q"] = qtables[c["tq"]]
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.align_to_restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = htables.get((0, c.get("td", 0)))
+                ac_tab = htables.get((1, c.get("ta", 0)))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("jpeg: missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, np.int64)
+                        t = reader.decode_symbol(dc_tab)
+                        diff = _extend(reader.get_bits(t), t)
+                        preds[ci] += diff
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16          # ZRL
+                                    continue
+                                break                # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC overflow")
+                            coef[k] = _extend(reader.get_bits(s), s)
+                            k += 1
+                        # dequantize in zigzag order, then un-zigzag
+                        dq = coef * c["q"]
+                        block = np.zeros(64, np.float64)
+                        block[ZIGZAG] = dq
+                        blk8 = block.reshape(8, 8)
+                        spatial = _C.T @ blk8 @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    out_planes = []
+    for c, p in zip(comps, planes):
+        sy = vmax // c["v"]
+        sx = hmax // c["h"]
+        if sy > 1 or sx > 1:
+            p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
+        out_planes.append(p[:h, :w])
+    if nc == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    if nc == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"jpeg: {nc}-component images unsupported")
+
+
+# ------------------------------------------------------------- encoder
+def _encode_block(coef: np.ndarray, pred: int, dc_tab, ac_tab,
+                  bitout: list) -> int:
+    """Huffman-encode one quantized zigzag coefficient block."""
+    def put(sym_bits: Tuple[int, int]):
+        bitout.append(sym_bits)
+
+    def magnitude(v: int) -> Tuple[int, int]:
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        if v == 0:
+            return 0, 0
+        return t, (v if v > 0 else v + (1 << t) - 1)
+
+    diff = int(coef[0]) - pred
+    t, bits = magnitude(diff)
+    put(dc_tab[t])
+    if t:
+        put((bits, t))
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if coef[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            put(ac_tab[0xF0])           # ZRL
+            run -= 16
+        t, bits = magnitude(v)
+        put(ac_tab[(run << 4) | t])
+        put((bits, t))
+        run = 0
+    if last_nz < 63:
+        put(ac_tab[0x00])               # EOB
+    return int(coef[0])
+
+
+def _huff_encode_tables(spec) -> Dict[int, Tuple[int, int]]:
+    bits, huffval = spec
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def encode_jpeg(img: np.ndarray, quality_tables=None) -> bytes:
+    """Minimal baseline encoder: grayscale (H, W) or RGB (H, W, 3),
+    4:4:4, standard Annex K tables. For fixtures and bounded-error
+    round-trip tests — not a size-optimized encoder."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    luma_q = STD_LUMA_Q if quality_tables is None else quality_tables[0]
+    chroma_q = STD_CHROMA_Q if quality_tables is None else quality_tables[1]
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        qs = [luma_q]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qs = [luma_q, chroma_q, chroma_q]
+
+    dc_tabs = [_huff_encode_tables(STD_DC_LUMA)] + \
+        ([] if gray else [_huff_encode_tables(STD_DC_CHROMA)] * 2)
+    ac_tabs = [_huff_encode_tables(STD_AC_LUMA)] + \
+        ([] if gray else [_huff_encode_tables(STD_AC_CHROMA)] * 2)
+
+    bh = (h + 7) // 8
+    bw = (w + 7) // 8
+    bitout: list = []
+    preds = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (p, q) in enumerate(zip(planes, qs)):
+                ys = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                blk = np.pad(ys, ((0, 8 - ys.shape[0]),
+                                  (0, 8 - ys.shape[1])), mode="edge")
+                coef8 = _C @ (blk - 128.0) @ _C.T
+                zz_coef = coef8.reshape(-1)[ZIGZAG]
+                qcoef = np.rint(zz_coef / q).astype(np.int64)
+                preds[ci] = _encode_block(qcoef, preds[ci],
+                                          dc_tabs[ci if not gray else 0],
+                                          ac_tabs[ci if not gray else 0],
+                                          bitout)
+
+    # bit-pack with 0xFF stuffing
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for val, nb in bitout:
+        if nb == 0:
+            continue
+        acc = (acc << nb) | (val & ((1 << nb) - 1))
+        nacc += nb
+        while nacc >= 8:
+            nacc -= 8
+            byte = (acc >> nacc) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+    if nacc:
+        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    def dht_body(tc, th, spec):
+        bits, huffval = spec
+        return bytes([tc << 4 | th]) + bytes(bits) + bytes(huffval)
+
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sos += bytes([ci + 1, (0 if ci == 0 else 1) * 0x11])
+    sos += bytes([0, 63, 0])
+
+    blob = b"\xff\xd8"
+    blob += seg(0xDB, bytes([0]) + bytes(int(x) for x in luma_q))
+    if not gray:
+        blob += seg(0xDB, bytes([1]) + bytes(int(x) for x in chroma_q))
+    blob += seg(0xC0, sof)
+    blob += seg(0xC4, dht_body(0, 0, STD_DC_LUMA))
+    blob += seg(0xC4, dht_body(1, 0, STD_AC_LUMA))
+    if not gray:
+        blob += seg(0xC4, dht_body(0, 1, STD_DC_CHROMA))
+        blob += seg(0xC4, dht_body(1, 1, STD_AC_CHROMA))
+    blob += seg(0xDA, sos)
+    blob += bytes(out)
+    blob += b"\xff\xd9"
+    return blob
+
+
+def jpeg_gray(data: bytes) -> np.ndarray:
+    arr = decode_jpeg(data)
+    if arr.ndim == 2:
+        return arr
+    return arr.mean(axis=2).astype(np.uint8)

@@ -66,11 +66,15 @@ def encode_l_image(img: np.ndarray) -> bytes:
 
 def decode_l_image(payload: bytes) -> np.ndarray:
     """Image bytes → grayscale array. Real PNGs decode through the
-    pure-numpy codec (``functions/png.py``); FAKEIMG1 decodes from its
-    raw buffer; multi-channel collapses to the channel mean."""
+    pure-numpy codec (``functions/png.py``), baseline JPEGs through
+    ``functions/jpeg.py``; FAKEIMG1 decodes from its raw buffer;
+    multi-channel collapses to the channel mean."""
     from ..functions.png import is_png, png_gray
     if is_png(payload):
         return png_gray(payload)
+    from ..functions.jpeg import is_jpeg, jpeg_gray
+    if is_jpeg(payload):
+        return jpeg_gray(payload)
     from ..pipelines.multimodal import _decode_image
     arr, _mode = _decode_image(payload)
     if arr.shape[2] == 1:

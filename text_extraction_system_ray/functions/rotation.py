@@ -123,15 +123,19 @@ def detect_rotation_raster(image_bytes: bytes,
     numpy — Otsu threshold + sheared projection-profile variance
     maximization (``functions/raster.detect_rotation_projection``) —
     over FAKEIMG1 mode-L rasters (as produced by
-    ``pdf_ops.rasterize_page``) AND real PNGs (pure-numpy codec,
-    ``functions/png.py`` — VERDICT r2 item 5). Other encoded formats
-    (JPEG) still raise NotImplementedError until an image backend is
-    swapped in; char-box detectors above cover born-digital documents."""
+    ``pdf_ops.rasterize_page``), real PNGs (pure-numpy codec,
+    ``functions/png.py`` — VERDICT r2 item 5) and real baseline JPEGs
+    (``functions/jpeg.py``, r3). Remaining encoded formats raise
+    NotImplementedError until an image backend is swapped in; char-box
+    detectors above cover born-digital documents."""
+    from ..functions.jpeg import is_jpeg
     from ..functions.png import is_png
     from ..pipelines.multimodal import MAGIC
-    if not ((image_bytes or b"").startswith(MAGIC) or is_png(image_bytes)):
+    if not ((image_bytes or b"").startswith(MAGIC) or is_png(image_bytes)
+            or is_jpeg(image_bytes)):
         raise NotImplementedError(
-            "raster rotation detection on non-PNG encoded images requires "
-            "cv2/PIL (not in this env); PNG and FAKEIMG1 are supported")
+            "raster rotation detection on non-PNG/JPEG encoded images "
+            "requires cv2/PIL (not in this env); PNG, baseline JPEG and "
+            "FAKEIMG1 are supported")
     from .raster import decode_l_image, detect_rotation_projection
     return detect_rotation_projection(decode_l_image(image_bytes))

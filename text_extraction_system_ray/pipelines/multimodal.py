@@ -38,10 +38,12 @@ def _decode_image(payload: bytes):
     """Unified decode: (pixels as (h, w, c) uint8, mode string).
 
     Real PNGs decode through the pure-numpy codec
-    (:mod:`..functions.png` — zlib + all five scanline filters); the
-    deterministic FAKEIMG1 fixture format stands in for formats whose
-    codecs aren't in this container (JPEG etc. raise
-    NotImplementedError, clearly marked)."""
+    (:mod:`..functions.png` — zlib + all five scanline filters) and
+    real baseline JPEGs through :mod:`..functions.jpeg` (T.81 SOF0:
+    Huffman + dequant + IDCT + chroma upsample); the deterministic
+    FAKEIMG1 fixture format stands in for the remaining formats (GIF/
+    WebP/TIFF raise NotImplementedError, clearly marked)."""
+    from ..functions import jpeg as _jpeg
     from ..functions import png as _png
     if payload is None or len(payload) < 8:
         raise ValueError("payload too short")
@@ -52,14 +54,20 @@ def _decode_image(payload: bytes):
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr, mode
+    if _jpeg.is_jpeg(payload):
+        arr = _jpeg.decode_jpeg(payload)
+        mode = "L" if arr.ndim == 2 else "RGB"
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr, mode
     if len(payload) < _HEADER.size:
         raise ValueError("payload too short")
     magic, w, h, c, mode = _HEADER.unpack_from(payload, 0)
     if magic != MAGIC:
         raise NotImplementedError(
-            "real decoding of non-PNG formats is stubbed in this "
-            "environment (no PIL/cv2); PNG and the FAKEIMG1 fixture "
-            "format decode")
+            "real decoding of non-PNG/JPEG formats is stubbed in this "
+            "environment (no PIL/cv2); PNG, baseline JPEG and the "
+            "FAKEIMG1 fixture format decode")
     body = payload[_HEADER.size:]
     if len(body) != w * h * c:
         raise ValueError("payload length mismatch")
@@ -122,9 +130,11 @@ class DecodeImages:
 def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
     """Deterministic binary image column derived from documents (doc_id
     seeds size + pixels); every 17th row (≡5) is corrupt to exercise the
-    error path, and every 17th row (≡11) is a REAL grayscale PNG
-    (encoded by the pure-numpy codec) so the encoded-bitmap decode path
-    runs inside the standard pipeline, not just in unit tests."""
+    error path, every 17th row (≡11) is a REAL grayscale PNG and every
+    17th row (≡13) a REAL baseline JPEG (both encoded by the pure-numpy
+    codecs) so the encoded-bitmap decode paths run inside the standard
+    pipeline, not just in unit tests."""
+    from ..functions.jpeg import encode_jpeg
     from ..functions.png import encode_png
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
@@ -140,6 +150,10 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
             elif d % 17 == 11:
                 rng = np.random.RandomState(d & 0x7FFFFFFF)
                 payloads.append(encode_png(
+                    rng.randint(0, 256, size=(h, w)).astype(np.uint8)))
+            elif d % 17 == 13:
+                rng = np.random.RandomState(d & 0x7FFFFFFF)
+                payloads.append(encode_jpeg(
                     rng.randint(0, 256, size=(h, w)).astype(np.uint8)))
             else:
                 payloads.append(encode_fake_image(w, h, 3, seed=d))
@@ -176,6 +190,7 @@ def resize_fake_image(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL nearest-neighbor resize on the decoded pixel buffer (numpy
     index math — the kernel a PIL deployment would swap for
     ``Image.resize``). PNG in → PNG out; FAKEIMG1 in → FAKEIMG1 out."""
+    from ..functions import jpeg as _jpeg
     from ..functions import png as _png
     arr, mode = _decode_image(payload)
     h, w, c = arr.shape
@@ -184,6 +199,8 @@ def resize_fake_image(payload: bytes, out_w: int, out_h: int) -> bytes:
     out = arr[yi[:, None], xi[None, :], :]
     if _png.is_png(payload):
         return _png.encode_png(out[:, :, 0] if c == 1 else out)
+    if _jpeg.is_jpeg(payload):
+        return _jpeg.encode_jpeg(out[:, :, 0] if c == 1 else out)
     return _HEADER.pack(MAGIC, out_w, out_h, c,
                         (mode + "\x00" * 4)[:4].encode()) + out.tobytes()
 
