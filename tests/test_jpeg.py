@@ -111,3 +111,78 @@ def test_jpeg_through_multimodal_decode():
     m = _decode_stub(encode_jpeg(img))
     assert (m["width"], m["height"], m["channels"]) == (20, 12, 1)
     assert m["mode"] == "L"
+
+
+def test_hand_built_420_subsampled_mcu():
+    """16×16 constant-color 4:2:0 JPEG, one MCU = 4 Y + 1 Cb + 1 Cr
+    DC-only blocks (quant all ones). Expected output is analytic:
+    Y = 128 + Dy/8, Cb/Cr likewise, through the JFIF RGB formula.
+    Exercises the subsampled-MCU layout + chroma upsampling the 4:4:4
+    encoder can't produce."""
+    from text_extraction_system_ray.functions.jpeg import (
+        STD_AC_CHROMA, STD_DC_CHROMA, _huff_encode_tables)
+    dc_l = _huff_encode_tables(STD_DC_LUMA)
+    ac_l = _huff_encode_tables(STD_AC_LUMA)
+    dc_c = _huff_encode_tables(STD_DC_CHROMA)
+    ac_c = _huff_encode_tables(STD_AC_CHROMA)
+
+    def magnitude(v):
+        t = abs(v).bit_length() if v else 0
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    bits = []
+
+    def emit_block(diff, dc_tab, ac_tab):
+        t, mag = magnitude(diff)
+        bits.append(dc_tab[t])
+        if t:
+            bits.append((mag, t))
+        bits.append(ac_tab[0x00])               # EOB
+
+    dy, dcb, dcr = 64, -32, 16                   # DC values per plane
+    emit_block(dy, dc_l, ac_l)                   # Y block 1: diff = 64
+    for _ in range(3):                           # Y blocks 2-4: diff 0
+        emit_block(0, dc_l, ac_l)
+    emit_block(dcb, dc_c, ac_c)
+    emit_block(dcr, dc_c, ac_c)
+
+    acc, nacc, payload = 0, 0, bytearray()
+    for val, nb in bits:
+        acc = (acc << nb) | (val & ((1 << nb) - 1))
+        nacc += nb
+        while nacc >= 8:
+            nacc -= 8
+            b = (acc >> nacc) & 0xFF
+            payload.append(b)
+            if b == 0xFF:
+                payload.append(0)
+    if nacc:
+        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        payload.append(b)
+        if b == 0xFF:
+            payload.append(0)
+
+    blob = b"\xff\xd8"
+    blob += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    blob += _seg(0xDB, bytes([1]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    blob += _seg(0xC0, sof)
+    blob += _dht(0, 0, STD_DC_LUMA) + _dht(1, 0, STD_AC_LUMA)
+    from text_extraction_system_ray.functions.jpeg import (
+        STD_AC_CHROMA as _acc_, STD_DC_CHROMA as _dcc_)
+    blob += _dht(0, 1, _dcc_) + _dht(1, 1, _acc_)
+    blob += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    blob += bytes(payload) + b"\xff\xd9"
+
+    out = decode_jpeg(blob)
+    assert out.shape == (16, 16, 3)
+    y = 128 + dy / 8.0
+    cb = 128 + dcb / 8.0
+    cr = 128 + dcr / 8.0
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    assert np.abs(out[:, :, 0].astype(int) - exp_r).max() <= 1
+    assert np.abs(out[:, :, 1].astype(int) - exp_g).max() <= 1
+    assert np.abs(out[:, :, 2].astype(int) - exp_b).max() <= 1
