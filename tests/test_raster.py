@@ -56,9 +56,9 @@ def test_skew_detection_on_rotated_text():
 
 
 def test_detect_rotation_raster_rejects_unsupported_formats():
-    # GIF stays env-gated; malformed PNG/JPEG are decode errors, not gates
+    # WebP stays env-gated; malformed PNG/JPEG are decode errors, not gates
     with pytest.raises(NotImplementedError):
-        detect_rotation_raster(b"GIF89a" + bytes(64))
+        detect_rotation_raster(b"RIFF\x00\x00\x00\x00WEBP" + bytes(64))
     with pytest.raises(ValueError):
         detect_rotation_raster(b"\x89PNG\r\n\x1a\n" + bytes(64))
     with pytest.raises(ValueError):

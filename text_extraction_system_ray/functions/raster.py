@@ -75,6 +75,9 @@ def decode_l_image(payload: bytes) -> np.ndarray:
     from ..functions.jpeg import is_jpeg, jpeg_gray
     if is_jpeg(payload):
         return jpeg_gray(payload)
+    from ..functions.gif import gif_gray, is_gif
+    if is_gif(payload):
+        return gif_gray(payload)
     from ..pipelines.multimodal import _decode_image
     arr, _mode = _decode_image(payload)
     if arr.shape[2] == 1:

@@ -128,14 +128,15 @@ def detect_rotation_raster(image_bytes: bytes,
     (``functions/jpeg.py``, r3). Remaining encoded formats raise
     NotImplementedError until an image backend is swapped in; char-box
     detectors above cover born-digital documents."""
+    from ..functions.gif import is_gif
     from ..functions.jpeg import is_jpeg
     from ..functions.png import is_png
     from ..pipelines.multimodal import MAGIC
     if not ((image_bytes or b"").startswith(MAGIC) or is_png(image_bytes)
-            or is_jpeg(image_bytes)):
+            or is_jpeg(image_bytes) or is_gif(image_bytes)):
         raise NotImplementedError(
-            "raster rotation detection on non-PNG/JPEG encoded images "
-            "requires cv2/PIL (not in this env); PNG, baseline JPEG and "
+            "raster rotation detection on this encoded format requires "
+            "cv2/PIL (not in this env); PNG, baseline JPEG, GIF and "
             "FAKEIMG1 are supported")
     from .raster import decode_l_image, detect_rotation_projection
     return detect_rotation_projection(decode_l_image(image_bytes))

@@ -40,9 +40,10 @@ def _decode_image(payload: bytes):
     Real PNGs decode through the pure-numpy codec
     (:mod:`..functions.png` — zlib + all five scanline filters) and
     real baseline JPEGs through :mod:`..functions.jpeg` (T.81 SOF0:
-    Huffman + dequant + IDCT + chroma upsample); the deterministic
-    FAKEIMG1 fixture format stands in for the remaining formats (GIF/
-    WebP/TIFF raise NotImplementedError, clearly marked)."""
+    Huffman + dequant + IDCT + chroma upsample) and GIF87a/89a through
+    :mod:`..functions.gif` (LZW + palette + interlace); the
+    deterministic FAKEIMG1 fixture format stands in for the remaining
+    formats (WebP/TIFF raise NotImplementedError, clearly marked)."""
     from ..functions import jpeg as _jpeg
     from ..functions import png as _png
     if payload is None or len(payload) < 8:
@@ -60,13 +61,16 @@ def _decode_image(payload: bytes):
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr, mode
+    from ..functions import gif as _gif
+    if _gif.is_gif(payload):
+        return _gif.decode_gif(payload), "RGB"
     if len(payload) < _HEADER.size:
         raise ValueError("payload too short")
     magic, w, h, c, mode = _HEADER.unpack_from(payload, 0)
     if magic != MAGIC:
         raise NotImplementedError(
-            "real decoding of non-PNG/JPEG formats is stubbed in this "
-            "environment (no PIL/cv2); PNG, baseline JPEG and the "
+            "real decoding of this format is stubbed in this "
+            "environment (no PIL/cv2); PNG, baseline JPEG, GIF and the "
             "FAKEIMG1 fixture format decode")
     body = payload[_HEADER.size:]
     if len(body) != w * h * c:
