@@ -154,3 +154,30 @@ def test_sessionize_hot_key_bounded_groups(ray_session, tmp_path):
     day = df["ts"].astype("datetime64[ns]").astype("int64") // (24 * 3600 * 10**9)
     max_group = df.groupby([df["user_id"], day]).size().max()
     assert max_group < 20_000 / 4
+
+
+def test_quantiles_singleton_and_duplicate_values(ray_session, tmp_path):
+    """Quantile reconstruction edge cases: a group with one row (all
+    quantiles = that value) and heavy duplicate values split across
+    batches (counts must merge before the order statistics)."""
+    from text_extraction_system_ray.pipelines.relational import (
+        order_price_quantiles)
+    rows = [("1-URGENT", 500.0)] + [("2-HIGH", 100.0)] * 40 + \
+        [("2-HIGH", 200.0)] * 40 + [("2-HIGH", 300.0)] * 20
+    df = pd.DataFrame(rows, columns=["o_orderpriority", "o_totalprice"])
+    df["o_orderkey"] = np.arange(len(df))
+    df["o_custkey"] = 1
+    d = tmp_path / "q"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "orders.parquet"))
+    got = order_price_quantiles(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    import __ray_entry__
+    want = con.execute(__ray_entry__.oracle_sql()["order_price_quantiles"]) \
+        .fetchdf()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False)
+    one = got[got["o_orderpriority"] == "1-URGENT"].iloc[0]
+    assert one["p50"] == one["p90"] == one["p99"] == 500.0

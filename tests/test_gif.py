@@ -135,3 +135,17 @@ def test_gif_through_decode_surfaces():
     assert (m["width"], m["height"], m["channels"]) == (2, 2, 3)
     assert m["mode"] == "RGB"
     assert decode_l_image(data).shape == (2, 2)
+
+
+def test_code_width_growth():
+    """Literals without intervening CLEARs grow the table; when the next
+    free code reaches 2^width the reader must widen: codes 0,1,0,1 at
+    3 bits fill entries 6,7 and entry 8 triggers width 4 for the
+    remaining literal + END."""
+    codes = [4, 0, 1, 0, 1, 0, 5]
+    widths = [3, 3, 3, 3, 3, 4, 4]
+    data = _gif(5, 1, PALETTE, 2, _pack_codes_lsb(codes, widths))
+    out = decode_gif(data)
+    exp = np.array([PALETTE[p] for p in (0, 1, 0, 1, 0)],
+                   np.uint8).reshape(1, 5, 3)
+    assert (out == exp).all()

@@ -186,3 +186,57 @@ def test_hand_built_420_subsampled_mcu():
     assert np.abs(out[:, :, 0].astype(int) - exp_r).max() <= 1
     assert np.abs(out[:, :, 1].astype(int) - exp_g).max() <= 1
     assert np.abs(out[:, :, 2].astype(int) - exp_b).max() <= 1
+
+
+def test_restart_markers():
+    """DRI=1 with RST0/RST1 between three DC-only MCUs: the decoder must
+    resync the bit reader AND reset the DC predictor at each restart
+    (each MCU's diff is absolute again)."""
+    from text_extraction_system_ray.functions.jpeg import (
+        _huff_encode_tables)
+    dc = _huff_encode_tables(STD_DC_LUMA)
+    ac = _huff_encode_tables(STD_AC_LUMA)
+
+    def block_bits(diff):
+        t = abs(diff).bit_length() if diff else 0
+        mag = diff if diff >= 0 else diff + (1 << t) - 1
+        bits = [dc[t]]
+        if t:
+            bits.append((mag, t))
+        bits.append(ac[0x00])
+        return bits
+
+    def pack(bits):
+        acc, nacc, out = 0, 0, bytearray()
+        for val, nb in bits:
+            acc = (acc << nb) | (val & ((1 << nb) - 1))
+            nacc += nb
+            while nacc >= 8:
+                nacc -= 8
+                b = (acc >> nacc) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0)
+        if nacc:
+            b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+        return bytes(out)
+
+    # 24x8 gray: MCU DCs 64, 32, -64 (absolute after each restart)
+    payload = pack(block_bits(64)) + b"\xff\xd0" + \
+        pack(block_bits(32)) + b"\xff\xd1" + pack(block_bits(-64))
+    blob = b"\xff\xd8"
+    blob += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    blob += _seg(0xC0, struct.pack(">BHHB", 8, 8, 24, 1) +
+                 bytes([1, 0x11, 0]))
+    blob += _dht(0, 0, STD_DC_LUMA) + _dht(1, 0, STD_AC_LUMA)
+    blob += _seg(0xDD, struct.pack(">H", 1))
+    blob += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    blob += payload + b"\xff\xd9"
+    out = decode_jpeg(blob)
+    assert out.shape == (8, 24)
+    assert (out[:, :8] == 136).all()       # 128 + 64/8
+    assert (out[:, 8:16] == 132).all()     # 128 + 32/8
+    assert (out[:, 16:] == 120).all()      # 128 - 64/8
