@@ -300,3 +300,43 @@ def test_remove_ocr_layer_preserves_original_text():
     allgone = extract_row("u", remove_text_layer(merged, cfg), "", cfg)
     assert "Original digital text." not in allgone["text"]
     assert "layer only text" not in allgone["text"]
+
+
+def test_ocr_arm_orientation_correction():
+    """M16→M9 integration: a page whose text runs at 90° is detected by
+    the OSD-analog probe, the raster is counter-rotated before the
+    backend sees it, and the applied orientation is recorded; an upright
+    page records orientation 0 (symmetric glyphs never trip the 180°
+    gate)."""
+    import pyarrow as pa
+    from text_extraction_system_ray.config import PipelineConfig
+    from text_extraction_system_ray.stages.ocr_stage import (
+        FakeOcrBackend, OcrPages)
+    from tests.test_pdf_fonts import (CMAP, DESCRIPTOR, WIDTHS_FONT,
+                                      simple_font_pdf, stream_obj)
+    from tests.test_pdf_rotation_extract import _rot_content
+
+    cfg = PipelineConfig()
+
+    def run(angle):
+        body = b"\n".join(
+            _rot_content(angle, 80, 650 - 30 * i,
+                         b"ABCABCABCABCABCABCABCABCABC")
+            for i in range(12))
+        pdf = simple_font_pdf(body, WIDTHS_FONT,
+                              {6: DESCRIPTOR, 7: stream_obj(b"", CMAP)})
+        batch = pa.table({
+            "url": pa.array(["u"]),
+            "html": pa.array([pdf], pa.binary()),
+            "needs_ocr_pages": pa.array([[1]], pa.list_(pa.int32())),
+        })
+        out = OcrPages(FakeOcrBackend(), cfg, deskew=True)(batch)
+        return out.column("ocr_pages")[0].as_py()
+
+    upright = run(0.0)
+    assert upright[0]["orientation"] == 0
+    rotated = run(90.0)
+    assert rotated[0]["orientation"] == 90
+    assert rotated[0]["text"].startswith("[ocr-raster:")
+    # after orientation correction the residual skew is near zero
+    assert abs(rotated[0]["angle"]) <= 0.6

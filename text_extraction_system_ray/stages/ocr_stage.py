@@ -76,7 +76,15 @@ class OcrPages:
     ``ocr_raster`` path (backends without raster support fall back to
     ``ocr_page`` on the original page bytes); the detected angle rides
     in the output struct (feeds ``attach_searchable_pdf``'s
-    ``page_angles``, the ``{page:05}.angle.pdf`` analog)."""
+    ``page_angles``, the ``{page:05}.angle.pdf`` analog).
+
+    Before the fractional-skew pass, the OSD-analog orientation probe
+    (``raster.detect_orientation_raster_full``) checks for 90/180/270
+    rotation; when its confidence clears the reference's acceptance rule
+    (``rotation.osd_accept``, ``ocr/ocr.py:240-241``) the raster is
+    counter-rotated first — the reference applies tesseract OSD the same
+    way before OCR (``ocr/ocr.py:28-77``). The applied orientation is
+    recorded per page in the output struct."""
 
     def __init__(self, backend: Optional[OcrBackend] = None,
                  cfg: Optional[PipelineConfig] = None, language: str = "",
@@ -88,14 +96,31 @@ class OcrPages:
         self.min_deskew_angle = min_deskew_angle
 
     def _page_angle(self, page_pdf: bytes):
-        """(detected angle, page raster) — one rasterization serves both
-        detection and the deskewed-OCR input."""
+        """(orientation deg, fractional skew angle, corrected raster) —
+        one rasterization serves detection and the deskewed-OCR input;
+        orientation is applied to the raster before skew detection when
+        it passes the osd_accept gate."""
         from ..functions.pdf_ops import rasterize_page
         from ..functions.raster import (decode_l_image,
-                                        detect_rotation_projection)
+                                        detect_flip_raster,
+                                        detect_orientation_raster,
+                                        detect_rotation_projection,
+                                        rotate_image_array)
+        from ..functions.rotation import osd_accept
         img = decode_l_image(rasterize_page(page_pdf, 1, dpi=72,
                                             cfg=self.cfg))
-        return detect_rotation_projection(img), img
+        # the two probes gate INDEPENDENTLY: a 90-rotated page with
+        # symmetric glyphs has a certain axis but no flip evidence
+        orient = 0
+        axis, aconf = detect_orientation_raster(img)
+        if axis and osd_accept(2.0, aconf):
+            img = rotate_image_array(img, -axis)
+            orient = axis
+        flip, fconf = detect_flip_raster(img)
+        if flip and osd_accept(2.0, fconf):
+            img = rotate_image_array(img, -flip)
+            orient = (orient + flip) % 360
+        return orient, detect_rotation_projection(img), img
 
     def _ocr_deskewed(self, page_pdf: bytes, img, angle: float) -> str:
         """Counter-rotate the raster by the detected angle and OCR it;
@@ -121,9 +146,10 @@ class OcrPages:
                             continue
                         if self.deskew:
                             try:
-                                a, img = self._page_angle(chunks[page_no])
+                                orient, a, img = self._page_angle(
+                                    chunks[page_no])
                             except Exception:   # noqa: BLE001
-                                a, img = 0.0, None
+                                orient, a, img = 0, 0.0, None
                             a = a if abs(a) >= self.min_deskew_angle else 0.0
                             if img is not None:
                                 text = self._ocr_deskewed(
@@ -132,7 +158,7 @@ class OcrPages:
                                 text = self.backend.ocr_page(
                                     chunks[page_no], self.language)
                             rec = {"page": page_no, "text": text,
-                                   "angle": a}
+                                   "angle": a, "orientation": orient}
                         else:
                             rec = {"page": page_no,
                                    "text": self.backend.ocr_page(
@@ -144,6 +170,7 @@ class OcrPages:
         fields = [("page", pa.int32()), ("text", pa.string())]
         if self.deskew:
             fields.append(("angle", pa.float64()))
+            fields.append(("orientation", pa.int32()))
         typ = pa.list_(pa.struct(fields))
         return batch.append_column("ocr_pages", pa.array(out, typ))
 
