@@ -180,3 +180,15 @@ def test_jpeg_decoder_never_crashes_on_junk(payload):
             decode_jpeg(data)
         except (ValueError, NotImplementedError):
             pass
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=300))
+def test_gif_decoder_never_crashes_on_junk(payload):
+    from text_extraction_system_ray.functions.gif import decode_gif
+    for data in (payload, b"GIF89a" + payload):
+        try:
+            decode_gif(data)
+        except ValueError:
+            pass
