@@ -340,3 +340,57 @@ def test_ocr_arm_orientation_correction():
     assert rotated[0]["text"].startswith("[ocr-raster:")
     # after orientation correction the residual skew is near zero
     assert abs(rotated[0]["angle"]) <= 0.6
+
+
+def test_image_payload_intake_end_to_end():
+    """M1 image branch (ref MakePDFFromImages / convert_to_pdf.py:84-92):
+    a raw PNG/JPEG/GIF payload sniffs as 'image', extracts as one
+    textless needs-OCR page with the real dimensions, the OCR arm
+    deskews the REAL decoded bitmap, and the searchable-PDF artifact is
+    a one-page wrapper whose re-extraction yields the OCR text."""
+    import numpy as np
+    import pyarrow as pa
+    from text_extraction_system_ray.config import PipelineConfig
+    from text_extraction_system_ray.extract import extract_row, sniff_kind
+    from text_extraction_system_ray.functions.gif import decode_gif
+    from text_extraction_system_ray.functions.jpeg import encode_jpeg
+    from text_extraction_system_ray.functions.png import encode_png
+    from text_extraction_system_ray.functions.raster import (
+        rotate_image_array)
+    from text_extraction_system_ray.stages.ocr_stage import (
+        FakeOcrBackend, OcrPages, attach_searchable_pdf)
+
+    cfg = PipelineConfig()
+    # skewed "scanned page" as a real PNG
+    base = np.full((300, 200), 255, np.uint8)
+    for y0 in range(30, 270, 24):
+        base[y0:y0 + 9, 20:180] = 0
+    png = encode_png(rotate_image_array(base, 7.0))
+    jpg = encode_jpeg(base)
+
+    for payload, w in ((png, None), (jpg, 200)):
+        assert sniff_kind(payload) == "image"
+        row = extract_row("u", payload, "", cfg)
+        assert row["status"] == "ok" and row["kind"] == "image"
+        assert row["needs_ocr_pages"] == [1]
+        assert row["text"] == "\f"
+        if w:
+            assert row["pages"][0]["bbox"][2] == float(w)
+
+    batch = pa.table({
+        "url": pa.array(["u"]),
+        "html": pa.array([png], pa.binary()),
+        "needs_ocr_pages": pa.array([[1]], pa.list_(pa.int32())),
+    })
+    out = OcrPages(FakeOcrBackend(), cfg, deskew=True)(batch)
+    rec = out.column("ocr_pages")[0].as_py()[0]
+    assert rec["text"].startswith("[ocr-raster:")
+    assert abs(rec["angle"] - 7.0) <= 0.6        # real-pixel deskew
+
+    # searchable artifact: one-page wrapper, OCR text extractable
+    art = attach_searchable_pdf(out, cfg)
+    pdf = art.column("searchable_pdf")[0].as_py()
+    assert pdf is not None
+    re_row = extract_row("u", pdf, "", cfg)
+    assert rec["text"] in re_row["text"]
+    assert re_row["pages"][0]["bbox"][2:] == [200.0, 300.0]

@@ -17,9 +17,24 @@ import numpy as np
 
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions.assembly import (AssembledDoc, assemble_empty, assemble_html,
-                                 assemble_pdf, sections_from_toc)
+                                 assemble_image, assemble_pdf,
+                                 sections_from_toc)
 from .functions.html_extract import ExtractError, extract_html
 from .functions.pdf_extract import extract_pdf, extract_pdf_toc
+
+
+def image_dims(payload: bytes):
+    """(width, height) from the image header only — no pixel decode on
+    the extraction path (the full decode happens in the OCR arm)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .functions.png import png_dims
+        return png_dims(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .functions.jpeg import jpeg_dims
+        return jpeg_dims(payload)
+    from .functions.gif import gif_dims
+    return gif_dims(payload)
+
 
 PDF_MAGIC = b"%PDF-"
 
@@ -35,6 +50,9 @@ def sniff_kind(payload: Optional[bytes]) -> str:
     sniffed, not trusted by name). Frozen rules:
       - empty → 'empty'
       - b'%PDF-' within the first 1024 bytes → 'pdf'
+      - PNG / JPEG / GIF magic → 'image' (decoded by the pure-numpy
+        codecs; the reference converts image files to one-page PDFs
+        before the OCR arm)
       - >10% non-text control bytes in the first 4096 → 'unknown' (binary)
       - else → 'html'
     """
@@ -42,6 +60,9 @@ def sniff_kind(payload: Optional[bytes]) -> str:
         return "empty"
     if PDF_MAGIC in payload[:1024]:
         return "pdf"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8" \
+            or payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image"
     head = payload[:4096]
     # C-speed control-byte count: delete everything non-control, measure
     n_ctrl = len(head.translate(None, _NON_CTRL))
@@ -85,6 +106,9 @@ def extract_row(url: str, payload: Optional[bytes], lang_hint: str = "",
         if kind == "unknown":
             return error_row(url, kind, "unrecognized binary payload", lang_hint)
         forced = lang_hint if cfg.doc_language == "" else cfg.doc_language
+        if kind == "image":
+            w, h = image_dims(payload)
+            return _doc_to_row(url, kind, assemble_image(w, h, forced))
         if kind == "pdf":
             pages = extract_pdf(payload, cfg)
             doc = assemble_pdf(pages, forced,

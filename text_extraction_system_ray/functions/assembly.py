@@ -202,6 +202,23 @@ def assemble_empty(lang_hint: str) -> AssembledDoc:
     return doc
 
 
+def assemble_image(width: float, height: float,
+                   lang_hint: str) -> AssembledDoc:
+    """Raw-image payload → one textless page flagged for OCR — the
+    reference's image-file intake (``MakePDFFromImages`` wraps the image
+    in a one-page PDF before the OCR arm, ``convert_to_pdf.py:84-92``).
+    The page terminator keeps the text/char-span contract of a textless
+    PDF page; OcrPages recognizes the image payload and rasters it
+    directly through the real decoders."""
+    doc = AssembledDoc()
+    b = _Builder()
+    b.add("\f")
+    doc.text, doc.char_spans = b.finish()
+    doc.pages = [_page_record(1, 0, 1, float(width), float(height), 0)]
+    doc.needs_ocr_pages = [1]
+    return _finalize(doc, lang_hint)
+
+
 def sections_from_toc(toc: List[dict], char_spans: np.ndarray,
                       pages: List[dict], text_len: int) -> List[dict]:
     """TOC-path section building (ref

@@ -186,3 +186,11 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 def gif_gray(data: bytes) -> np.ndarray:
     return decode_gif(data).mean(axis=2).astype(np.uint8)
+
+
+def gif_dims(data: bytes):
+    """(width, height) of the logical screen, no pixel decode."""
+    if not is_gif(data) or len(data) < 10:
+        raise ValueError("gif: cannot read dimensions")
+    return (int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"))

@@ -525,3 +525,23 @@ def jpeg_gray(data: bytes) -> np.ndarray:
     if arr.ndim == 2:
         return arr
     return arr.mean(axis=2).astype(np.uint8)
+
+
+def jpeg_dims(data: bytes) -> Tuple[int, int]:
+    """(width, height) from the first SOFn marker, no pixel decode."""
+    if not is_jpeg(data):
+        raise ValueError("jpeg: cannot read dimensions")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: cannot read dimensions")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            _prec, h, w = struct.unpack_from(">BHH", data, pos + 4)
+            return int(w), int(h)
+        pos += 2 + seglen
+    raise ValueError("jpeg: no SOF marker")

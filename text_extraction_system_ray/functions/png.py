@@ -171,3 +171,11 @@ def png_gray(data: bytes) -> np.ndarray:
         return arr
     color = arr[:, :, :3] if arr.shape[2] >= 3 else arr[:, :, :1]
     return color.mean(axis=2).astype(np.uint8)
+
+
+def png_dims(data: bytes) -> Tuple[int, int]:
+    """(width, height) from the IHDR without decoding pixels."""
+    if not is_png(data) or len(data) < 24 or data[12:16] != b"IHDR":
+        raise ValueError("png: cannot read dimensions")
+    w, h = struct.unpack_from(">II", data, 16)
+    return int(w), int(h)

@@ -100,6 +100,7 @@ class OcrPages:
         one rasterization serves detection and the deskewed-OCR input;
         orientation is applied to the raster before skew detection when
         it passes the osd_accept gate."""
+        from ..extract import sniff_kind
         from ..functions.pdf_ops import rasterize_page
         from ..functions.raster import (decode_l_image,
                                         detect_flip_raster,
@@ -107,8 +108,13 @@ class OcrPages:
                                         detect_rotation_projection,
                                         rotate_image_array)
         from ..functions.rotation import osd_accept
-        img = decode_l_image(rasterize_page(page_pdf, 1, dpi=72,
-                                            cfg=self.cfg))
+        if sniff_kind(page_pdf) == "image":
+            # raw-image page: the REAL decoded bitmap is the raster —
+            # scanned content flows through actual pixels, not the IR
+            img = decode_l_image(page_pdf)
+        else:
+            img = decode_l_image(rasterize_page(page_pdf, 1, dpi=72,
+                                                cfg=self.cfg))
         # the two probes gate INDEPENDENTLY: a 90-rotated page with
         # symmetric glyphs has a certain axis but no flip evidence
         orient = 0
@@ -140,7 +146,12 @@ class OcrPages:
             results = []
             if need and payload:
                 try:
-                    chunks = dict(split_pdf_to_page_pdfs(payload, self.cfg))
+                    from ..extract import sniff_kind
+                    if sniff_kind(payload) == "image":
+                        chunks = {1: payload}   # the image IS page 1
+                    else:
+                        chunks = dict(
+                            split_pdf_to_page_pdfs(payload, self.cfg))
                     for page_no in need:
                         if page_no not in chunks:
                             continue
@@ -182,7 +193,13 @@ def attach_searchable_pdf(batch: pa.Table,
     invisible text layer (``pdf_ops.merge_text_layer_pdf``); other rows
     get null. Use after :class:`OcrPages` when the actual PDF artifact
     is wanted (the reference's ``.ocred.pdf``, ``tasks.py:415-428``) —
-    the column path keeps text byte-identity untouched."""
+    the column path keeps text byte-identity untouched.
+
+    Raw-image rows first get a one-page PDF wrapper sized to the image
+    with an image XObject marker (the reference's ``MakePDFFromImages``
+    step), then the invisible text layer merges into that wrapper."""
+    from ..extract import image_dims, sniff_kind
+    from ..functions.pdf_build import build_pdf
     from ..functions.pdf_ops import merge_text_layer_pdf
     cfg = cfg or DEFAULT_CONFIG
     out = []
@@ -193,6 +210,13 @@ def attach_searchable_pdf(batch: pa.Table,
             out.append(None)
             continue
         try:
+            if sniff_kind(payload) == "image":
+                w, h = image_dims(payload)
+                payload = build_pdf(
+                    [[]], media_box=(float(w), float(h)),
+                    image_pages=[1],
+                    raw_contents=[
+                        f"q {w} 0 0 {h} 0 0 cm /Im1 Do Q".encode()])
             out.append(merge_text_layer_pdf(
                 payload, {r["page"]: r["text"] for r in ocr}, cfg,
                 page_angles={r["page"]: r["angle"] for r in ocr
