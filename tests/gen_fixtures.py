@@ -189,6 +189,62 @@ def _rows_poison(n: int) -> List[dict]:
              "html": variants[i % len(variants)], "lang": ""} for i in range(n)]
 
 
+def _rows_images(n: int) -> List[dict]:
+    """Raw image payloads (M1 image intake): PNG / JPEG / GIF rotate
+    through the rows; deterministic pixels from numpy seeds."""
+    import numpy as np
+    from text_extraction_system_ray.functions.gif import is_gif  # noqa
+    from text_extraction_system_ray.functions.jpeg import encode_jpeg
+    from text_extraction_system_ray.functions.png import encode_png
+
+    def gif_payload(seed: int) -> bytes:
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, 4, size=(8, 8)).astype(np.uint8)
+        palette = bytes(rng.randint(0, 256, size=12, dtype=np.int64)
+                        .astype(np.uint8))
+        codes = bytearray()
+        # literal codes with CLEAR between each (fixed 3-bit width)
+        bits = []
+        for p in idx.reshape(-1):
+            bits += [(4, 3), (int(p), 3)]
+        bits.append((5, 3))
+        acc = nacc = 0
+        for val, w in bits:
+            acc |= (val & 7) << nacc
+            nacc += w
+            while nacc >= 8:
+                codes.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            codes.append(acc & 0xFF)
+        blob = b"GIF89a" + (8).to_bytes(2, "little") * 2 + \
+            bytes([0x81, 0, 0]) + palette + \
+            b"\x2c" + bytes(4) + (8).to_bytes(2, "little") * 2 + b"\x00" + \
+            bytes([2])
+        body = bytes(codes)
+        for i in range(0, len(body), 255):
+            chunk = body[i:i + 255]
+            blob += bytes([len(chunk)]) + chunk
+        return blob + b"\x00\x3b"
+
+    out = []
+    for i in range(n):
+        rng = np.random.RandomState(1000 + i)
+        img = np.full((48, 64), 255, np.uint8)
+        for y0 in range(6, 42, 8):
+            img[y0:y0 + 3, 4:60] = 0
+        if i % 3 == 0:
+            payload = encode_png(img)
+        elif i % 3 == 1:
+            payload = encode_jpeg(img)
+        else:
+            payload = gif_payload(i)
+        out.append({"url": f"https://test.example/image/{i:06d}",
+                    "html": payload, "lang": ""})
+    return out
+
+
 def _rows_dup(rng: random.Random, n: int) -> List[dict]:
     payload = _wrap(f"<p>{_sent(rng, 0, 0)}</p>")
     return [{"url": "https://test.example/dup/000000", "html": payload,
@@ -211,6 +267,7 @@ def generate_corpus(scale: str = "tiny") -> pa.Table:
     rows += _rows_giant(rng, 2)
     rows += _rows_pdfish(rng, 8 * mult)
     rows += _rows_poison(4)
+    rows += _rows_images(3)
     rows += _rows_dup(rng, 2)
     for i, r in enumerate(rows):
         r["warc_ts"] = _EPOCH + dt.timedelta(seconds=i)
