@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship C4-style curation composition (quality gate → exact
         # dedup → near-dup removal), SQL-checked end-to-end
         "curate_corpus": _curate.curate_corpus,
+        # transitive near-dup clustering: union-find over the verified
+        # pair set; oracle = recursive-CTE connected components
+        "neardup_clusters": lambda sf: _curate.neardup_clusters(
+            _dedup.minhash_neardups(sf, threshold=0.6)),
         # flagship extraction (non-SQL: DOM/PDF parse + segmentation)
         "extract_pages": _extract_summary,
     }
@@ -542,6 +546,28 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id
                 ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
                          vec_id) <= 10
+        """,
+        # connected components over the exact-Jaccard >= 0.6 pair set
+        # (recursive label propagation; min label per node = the
+        # union-find representative the Ray side computes)
+        "neardup_clusters": """
+            WITH RECURSIVE pairs AS (
+                """ + _JACCARD_PAIRS_SQL.format(
+            select="doc_a, doc_b", threshold=0.6) + """
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT a AS id FROM edges
+            ), cc AS (
+                SELECT id, id AS comp FROM nodes
+                UNION
+                SELECT e.b AS id, cc.comp
+                FROM cc JOIN edges e ON e.a = cc.id
+            )
+            SELECT id AS doc_id, MIN(comp) AS cluster_min
+            FROM cc GROUP BY id ORDER BY doc_id
         """,
         # windowed aggregate: running total + sequence number per user,
         # decimal accumulation mirrors the engine's scaled ints

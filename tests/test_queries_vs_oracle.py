@@ -75,6 +75,7 @@ def test_all_queries_run(entrymod):
     "fingerprint", "bm25_topk", "stratified_sample",
     "order_price_quantiles", "top_orders_per_segment",
     "orders_customer_left_join", "events_running_total",
+    "neardup_clusters",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))
