@@ -220,3 +220,43 @@ def test_orientation_full_resolves_180(ray_session=None):
         flat[y0:y0 + 10, 20:180] = 0
     f, conf = detect_flip_raster(flat)
     assert f == 0 and not osd_accept(2.0, conf)
+
+
+def test_png_adam7_interlaced_decode():
+    """Hand-built Adam7 PNG: seven filter-0 sub-images assembled per the
+    spec's pass grid must scatter back to the exact original pixels
+    (gray and RGB, non-multiple-of-8 dims)."""
+    import struct
+    import zlib
+    from text_extraction_system_ray.functions.png import (PNG_SIGNATURE,
+                                                          decode_png)
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + \
+            struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    rng = np.random.RandomState(9)
+    for shape, ctype in (((13, 11), 0), ((10, 9, 3), 2)):
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        h, w = shape[:2]
+        ch = 1 if ctype == 0 else 3
+        img3 = img.reshape(h, w, ch)
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            rows = np.arange(y0, h, dy)
+            cols = np.arange(x0, w, dx)
+            if not len(rows) or not len(cols):
+                continue
+            sub = img3[np.ix_(rows, cols)]
+            for r in range(sub.shape[0]):
+                raw.append(0)
+                raw.extend(sub[r].reshape(-1).tobytes())
+        blob = PNG_SIGNATURE \
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                         0, 0, 1)) \
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) \
+            + chunk(b"IEND", b"")
+        out = decode_png(blob)
+        assert out.shape == img.shape and (out == img).all(), shape

@@ -4,7 +4,8 @@ Implements the PNG spec's critical path from public documentation
 (RFC 2083 / W3C PNG): chunk framing with CRC32, zlib-inflated IDAT,
 and all five scanline filters (None/Sub/Up/Average/Paeth). Covers the
 formats a web crawl actually ships — 8-bit gray (color type 0), RGB
-(2), palette (3), gray+alpha (4) and RGBA (6), non-interlaced. This
+(2), palette (3), gray+alpha (4) and RGBA (6), plain or Adam7
+interlaced. This
 closes the encoded-bitmap gap for M6/M10/M13 (VERDICT r2 item 5): a
 real PNG can be decoded, skew-detected and rotated by the raster
 kernels without PIL. The reference reaches the same entry points via
@@ -89,6 +90,38 @@ def _unfilter(raw: np.ndarray, height: int, stride: int,
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _deinterlace_adam7(raw: np.ndarray, width: int, height: int,
+                       ch: int) -> np.ndarray:
+    """Adam7: seven sequential sub-images, each with its own filtered
+    scanlines, scattered back onto the full-resolution grid."""
+    out = np.zeros((height, width * ch), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * ch
+        need = ph * (stride + 1)
+        if pos + need > raw.size:
+            raise ValueError("png: truncated interlaced data")
+        sub = _unfilter(raw[pos:pos + need], ph, stride, ch)
+        pos += need
+        rows = y0 + dy * np.arange(ph)
+        cols = x0 + dx * np.arange(pw)
+        sub3 = sub.reshape(ph, pw, ch)
+        for c in range(ch):
+            out[np.ix_(rows, cols * ch + c)] = sub3[:, :, c]
+    if pos != raw.size:
+        raise ValueError("png: interlaced size mismatch")
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array: (H, W) for grayscale, (H, W, C)
     otherwise. Palette images resolve through their PLTE."""
@@ -116,8 +149,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"png: unsupported bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise ValueError(f"png: unsupported color type {color_type}")
-    if interlace != 0:
-        raise ValueError("png: interlaced (Adam7) not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: bad interlace method {interlace}")
     ch = _CHANNELS[color_type]
     try:
         inflated = zlib.decompress(b"".join(idat))
@@ -125,9 +158,12 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"png: bad IDAT stream: {e}")
     raw = np.frombuffer(inflated, np.uint8)
     stride = width * ch
-    if raw.size != height * (stride + 1):
-        raise ValueError("png: inflated size mismatch")
-    px = _unfilter(raw, height, stride, ch)
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, width, height, ch)
+    else:
+        if raw.size != height * (stride + 1):
+            raise ValueError("png: inflated size mismatch")
+        px = _unfilter(raw, height, stride, ch)
     if color_type == 3:
         if plte is None:
             raise ValueError("png: palette image without PLTE")
