@@ -141,12 +141,21 @@ def main() -> None:
     # 8.55 s idle vs 24.1 s contended). Run the headline twice and
     # report the better run — both attempts are recorded so the
     # variance itself stays visible.
+    load_before = os.getloadavg()
     attempts = [run_headline(pages) for _ in range(2)]
     headline = min(attempts, key=lambda a: a["sec"])
     headline["attempt_secs"] = [a["sec"] for a in attempts]
     log(f"[bench] headline: {headline}")
     queries = run_queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" else {}
     ray.shutdown()
+    secs = sorted(headline["attempt_secs"])
+    median = secs[len(secs) // 2] if len(secs) % 2 else \
+        round((secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2, 3)
+    try:
+        with open("/proc/uptime") as f:
+            uptime_s = float(f.read().split()[0])
+    except OSError:
+        uptime_s = None
     print(json.dumps({
         "metric": "pages_extraction_wall_seconds",
         "value": headline["sec"],
@@ -154,7 +163,16 @@ def main() -> None:
         "rows": headline["rows"],
         "rows_per_s": headline["rows_per_s"],
         "mb_in_per_s": headline["mb_in_per_s"],
+        # 'value' is best-of-attempts (kept for round-over-round best-vs-
+        # best comparison); 'median_sec' compares like-with-like against
+        # pre-r3 single-run numbers (ADVICE r3)
         "headline_attempt_secs": headline["attempt_secs"],
+        "median_sec": median,
+        # noise self-description (VERDICT r3 item 10): host contention
+        # cost a round of ambiguity in r2 — every BENCH json now records
+        # the loadavg it started under and the host uptime
+        "loadavg_1_5_15_at_start": [round(x, 2) for x in load_before],
+        "uptime_s": uptime_s,
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

@@ -173,12 +173,18 @@ def decode_gif(data: bytes) -> np.ndarray:
             deinter[rows] = frame
             frame = deinter
         rgb = ct[frame]
-        # composite the first frame onto the logical screen (frames
-        # smaller than the screen sit at (left, top) on background 0)
+        # composite the first frame onto the logical screen: background =
+        # the background-color index from the logical screen descriptor
+        # (byte 11), bounds-checked; the paste rectangle is clipped to the
+        # canvas (frames may overhang the screen) — ADVICE r3
         if (iw, ih) != (sw, sh) and sw and sh:
             canvas = np.zeros((sh, sw, 3), np.uint8)
-            canvas[:] = ct[0]
-            canvas[top:top + ih, left:left + iw] = rgb
+            bg = data[11] if data[11] < len(ct) else 0
+            canvas[:] = ct[bg]
+            y0, x0 = min(top, sh), min(left, sw)
+            y1, x1 = min(top + ih, sh), min(left + iw, sw)
+            if y1 > y0 and x1 > x0:
+                canvas[y0:y1, x0:x1] = rgb[:y1 - y0, :x1 - x0]
             return canvas
         return rgb
     raise ValueError("gif: no image data")

@@ -70,9 +70,98 @@ def _page_image_names(doc: "_PdfDoc", pobj) -> List[str]:
     return names
 
 
-_OCR_LAYER_RE = re.compile(
-    rb"/OliveGeneratedContent\s*(?:<<.*?>>\s*)?(?:BDC|BMC)\b.*?\bEMC\b",
-    re.DOTALL)
+_OCR_TAG = b"/OliveGeneratedContent"
+_OCR_OPEN_RE = re.compile(rb"\s*(?:<<.*?>>\s*)?(?:BDC|BMC)(?![0-9A-Za-z])",
+                          re.DOTALL)
+_PDF_DELIMS = frozenset(b"\x00\t\n\x0c\r ()<>[]{}/%")
+
+
+def _is_pdf_token(b: bytes, i: int, length: int) -> bool:
+    """True when b[i:i+length] stands alone as a PDF token (delimited or
+    at a buffer boundary on both sides)."""
+    if i > 0 and b[i - 1] not in _PDF_DELIMS:
+        return False
+    j = i + length
+    return j >= len(b) or b[j] in _PDF_DELIMS
+
+
+def _scan_to_emc(b: bytes, pos: int) -> int:
+    """Position just past the EMC balancing an open BMC/BDC at ``pos``,
+    skipping PDF string literals ``(...)`` (with backslash escapes and
+    nested parens), hex strings ``<...>`` and dicts ``<<...`` — a naive
+    ``.*?EMC`` regex would terminate at the word EMC inside OCR'd text
+    (ADVICE r3). Returns -1 when unbalanced."""
+    depth = 1
+    n = len(b)
+    i = pos
+    while i < n:
+        c = b[i]
+        if c == 0x28:                       # ( literal string
+            i += 1
+            pdepth = 1
+            while i < n and pdepth:
+                ch = b[i]
+                if ch == 0x5C:              # backslash escape
+                    i += 2
+                    continue
+                if ch == 0x28:
+                    pdepth += 1
+                elif ch == 0x29:
+                    pdepth -= 1
+                i += 1
+            continue
+        if c == 0x3C:                       # << dict or < hex string
+            if i + 1 < n and b[i + 1] == 0x3C:
+                i += 2
+                continue
+            j = b.find(b">", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c in (0x42, 0x45):               # B / E fast gate
+            if (b.startswith(b"BMC", i) or b.startswith(b"BDC", i)) \
+                    and _is_pdf_token(b, i, 3):
+                depth += 1
+                i += 3
+                continue
+            if b.startswith(b"EMC", i) and _is_pdf_token(b, i, 3):
+                depth -= 1
+                i += 3
+                if depth == 0:
+                    return i
+                continue
+        i += 1
+    return -1
+
+
+def _strip_ocr_layers(content: bytes) -> bytes:
+    """Remove every ``/OliveGeneratedContent BMC|BDC .. EMC`` span,
+    matching the layer's STRUCTURAL end (string-literal-aware, nested
+    marked content balanced)."""
+    out = []
+    i = 0
+    while True:
+        j = content.find(_OCR_TAG, i)
+        if j < 0:
+            out.append(content[i:])
+            break
+        e = j + len(_OCR_TAG)
+        if e < len(content) and content[e] not in _PDF_DELIMS:
+            out.append(content[i:e])        # longer name, not our tag
+            i = e
+            continue
+        m = _OCR_OPEN_RE.match(content, e)
+        if not m:
+            out.append(content[i:j + len(_OCR_TAG)])
+            i = j + len(_OCR_TAG)
+            continue
+        end = _scan_to_emc(content, m.end())
+        if end < 0:                         # unbalanced: leave untouched
+            out.append(content[i:j + len(_OCR_TAG)])
+            i = j + len(_OCR_TAG)
+            continue
+        out.append(content[i:j])
+        i = end
+    return b"".join(out)
 
 
 def remove_ocr_layer(payload: bytes,
@@ -104,7 +193,7 @@ def remove_text_layer(payload: bytes,
     for i, pobj in enumerate(doc.pages, start=1):
         content = doc.content_bytes(pobj)
         if only_ocr_layer:
-            stripped = _OCR_LAYER_RE.sub(b"", content)
+            stripped = _strip_ocr_layers(content)
         else:
             stripped = _BT_ET_RE.sub(b"", content)
         raw_contents.append(stripped)

@@ -128,15 +128,16 @@ def _batch_minhash(flat: np.ndarray, ptr: np.ndarray,
     if flat.size == 0 or n_docs == 0:
         return sigs
     x = (flat % np.uint64(_MERSENNE)).astype(np.int64)
-    starts = ptr[:-1]
-    empty = ptr[:-1] == ptr[1:]
-    starts_c = np.minimum(starts, len(x) - 1)
+    # reduceat over the NON-EMPTY docs' starts only: empty segments keep
+    # the sentinel, and — because empty docs contribute no flat entries —
+    # each non-empty doc's segment runs exactly to the next non-empty
+    # start (a clipped-starts reduceat would drop the last shingle of the
+    # doc preceding a trailing empty doc — ADVICE r3 pattern).
+    nonempty = ptr[1:] > ptr[:-1]
+    starts_ne = ptr[:-1][nonempty]
     for p in range(_N_PERM):
         v = (a[p] * x + b[p]) % _MERSENNE
-        m = np.minimum.reduceat(v, starts_c)
-        if empty.any():
-            m[empty] = _MERSENNE
-        sigs[:, p] = m
+        sigs[nonempty, p] = np.minimum.reduceat(v, starts_ne)
     return sigs
 
 
@@ -657,14 +658,17 @@ class SimhashStage:
         n_docs = len(ptr) - 1
         out = np.zeros(n_docs, np.uint64)
         if th.size:
-            # n_tokens × 64 bit matrix → per-doc vote sums
+            # n_tokens × 64 bit matrix → per-doc vote sums. Segment sums
+            # via reduceat over NON-EMPTY starts only (clipped starts
+            # would corrupt the doc before a trailing empty — ADVICE r3).
             bits = ((th[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)) \
                 .astype(np.int32)
-            starts = np.minimum(ptr[:-1], len(th) - 1)
-            votes = np.add.reduceat(bits, starts, axis=0)
             lens = (ptr[1:] - ptr[:-1])
             empty = lens == 0
-            votes[empty] = 0
+            votes = np.zeros((n_docs, 64), np.int64)
+            if (~empty).any():
+                votes[~empty] = np.add.reduceat(
+                    bits, ptr[:-1][~empty], axis=0)
             # vote > half the tokens → bit set (equivalent to ±1 sum > 0)
             bitset = (2 * votes > lens[:, None]) & ~empty[:, None]
             out = (bitset.astype(np.uint64) << self._SHIFTS[None, :]) \

@@ -58,15 +58,16 @@ def _doc_term_stats(terms: Sequence[str]):
         np.cumsum(lens, out=ptr[1:])
         flat = np.asarray([w for toks in tok_lists for w in toks],
                           dtype=object)
-        starts = np.minimum(ptr[:-1], max(len(flat) - 1, 0))
-        empty = ptr[:-1] == ptr[1:]
         cols = {"doc_id": t["doc_id"],
                 "dl": pa.array(lens, pa.int64())}
         for i, term in enumerate(terms):
             if len(flat):
-                hit = (flat == term).astype(np.int64)
-                tf = np.add.reduceat(hit, starts)
-                tf[empty] = 0
+                # segment sums via cumsum differencing: exact for empty
+                # segments anywhere in the batch (a clipped reduceat
+                # corrupts the PREVIOUS doc's tf when the batch ends with
+                # an empty-text doc — ADVICE r3)
+                cs = np.concatenate([[0], (flat == term).cumsum()])
+                tf = (cs[ptr[1:]] - cs[ptr[:-1]]).astype(np.int64)
             else:
                 tf = np.zeros(len(tok_lists), np.int64)
             cols[f"tf{i}"] = pa.array(tf, pa.int64())

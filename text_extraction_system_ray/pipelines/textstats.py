@@ -54,14 +54,16 @@ def _batch_tokens(texts) -> tuple:
 
 
 def _segment_sums(values: np.ndarray, ptr: np.ndarray) -> np.ndarray:
-    """Per-document sums of a flat per-token array (empty docs → 0)."""
+    """Per-document sums of a flat per-token array (empty docs → 0).
+
+    Cumsum differencing, not clipped ``reduceat``: a trailing empty doc
+    would clamp the last reduceat start and silently drop the previous
+    doc's final token from its sum (ADVICE r3)."""
     n = len(ptr) - 1
     if len(values) == 0:
         return np.zeros(n, np.int64)
-    starts = np.minimum(ptr[:-1], len(values) - 1)
-    out = np.add.reduceat(values, starts)
-    out[ptr[:-1] == ptr[1:]] = 0
-    return out
+    cs = np.concatenate([[0], np.cumsum(values)])
+    return (cs[ptr[1:]] - cs[ptr[:-1]]).astype(np.int64)
 
 
 def token_count(sf_dir: str) -> ray.data.Dataset:
