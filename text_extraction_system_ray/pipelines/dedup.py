@@ -177,21 +177,100 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="n_dups")).to_pandas()
 
 
-def dedup_dataset(ds: ray.data.Dataset, key_fn=None) -> ray.data.Dataset:
+# distinct-key winner maps broadcast below this many winners (md5 string
+# + id ≈ 50 B/winner → ≤ ~1 GB at the limit, well inside a worker heap);
+# above it the winner table hash-joins back instead.
+DEDUP_WINNER_BROADCAST_LIMIT = 20_000_000
+
+
+def first_wins_filter(ds: ray.data.Dataset, winners: ray.data.Dataset,
+                      key_col: str, id_col: str,
+                      id_type: Optional[pa.DataType] = None
+                      ) -> ray.data.Dataset:
+    """Keep exactly the rows whose (key, id) matches the winner table
+    (``winners`` = one row per key with the winning id in ``__keep``).
+
+    Below ``DEDUP_WINNER_BROADCAST_LIMIT`` winners the composite winner
+    set broadcasts once (``ray.put``) and the keep decision is a
+    map-side ``pc.is_in`` — rows never shuffle. Above it the winner
+    table joins back on ``key_col`` natively (hash-partitioned) and the
+    keep decision is a vectorized equality filter. Both composites are
+    built with the SAME Arrow cast kernels on both sides, so any type's
+    string rendering matches itself. ``id_col`` must uniquely identify
+    rows within a key (true for every caller: doc_id / warc_ts).
+
+    ``id_type``: normalize the id on BOTH sides to this Arrow type
+    before comparing — required when the winner aggregate changed the
+    id's physical type (Ray's Min round-trips timestamps through numpy
+    and comes back at a different unit; dedup_pages pre-casts warc_ts
+    to epoch-µs int64 and passes ``pa.int64()``)."""
+    def composite(t: pa.Table, keep_col: str) -> pa.ChunkedArray:
+        idv = t[keep_col]
+        if id_type is not None:
+            idv = pc.cast(idv, id_type)
+        return pc.binary_join_element_wise(
+            pc.cast(t[key_col], pa.string()),
+            pc.cast(idv, pa.string()), "\x00")
+
+    n_winners = winners.count()
+    if n_winners <= DEDUP_WINNER_BROADCAST_LIMIT:
+        # pull the winner table as Arrow (no pandas round-trip: a
+        # timestamp's pandas str() differs from Arrow's cast-to-string)
+        wt = pa.concat_tables(
+            winners.iter_batches(batch_format="pyarrow",
+                                 batch_size=65536))
+        keyset = pc.unique(composite(wt, "__keep"))
+        ref = ray.put(keyset)
+
+        def filt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(composite(t, id_col),
+                                     value_set=ray.get(ref)))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    joined = ds.join(winners, join_type="inner",
+                     num_partitions=int(min(256, max(16,
+                                            n_winners // 500_000))),
+                     on=(key_col,))
+
+    def keep(t: pa.Table) -> pa.Table:
+        a, b = t[id_col], t["__keep"]
+        if id_type is not None:
+            a, b = pc.cast(a, id_type), pc.cast(b, id_type)
+        m = pc.equal(pc.cast(a, pa.string()), pc.cast(b, pa.string()))
+        return t.filter(m).drop_columns(["__keep"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def dedup_dataset(ds: ray.data.Dataset, id_col: Optional[str] = None,
+                  text_col: str = "text") -> ray.data.Dataset:
     """Generic first-wins dedup of any dataset on a content hash of
-    ``text`` (or a caller hash column): hash-partition + per-group head(1)."""
+    ``text_col``: the kept row per distinct text is the one with the
+    minimum ``id_col`` (default: the dataset's first column, which must
+    uniquely identify rows — doc_id / url in every current caller).
+
+    Physical plan (VERDICT r3 item 3 — the old per-group ``head(1)``
+    spawned one ~1 ms pandas group per KEPT row): the shuffle moves only
+    (hash, id) pairs into a ``Min`` aggregate; full rows never leave
+    their blocks — the winner set broadcasts under a guard and the keep
+    decision is a map-side vectorized filter (``first_wins_filter``)."""
     def hash_batch(t: pa.Table) -> pa.Table:
         h = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
-             for x in t.column("text").to_pylist()]
+             for x in t.column(text_col).to_pylist()]
         return t.append_column("__hash", pa.array(h, pa.string()))
 
-    with_h = ds.map_batches(hash_batch, batch_format="pyarrow")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(g.columns[0]).head(1)
-
-    return with_h.groupby("__hash").map_groups(
-        first, batch_format="pandas").drop_columns(["__hash"])
+    # materialized: consumed twice (winner aggregate + filter) — blocks
+    # live in the object store and spill rather than recomputing the md5
+    # pass; callers rooted at a cheap read can skip via dedup on the read
+    with_h = ds.map_batches(hash_batch, batch_format="pyarrow").materialize()
+    idc = id_col or with_h.schema().names[0]
+    # project BEFORE the groupby: the aggregate's shuffle must move only
+    # (hash, id) pairs, never the text/payload columns
+    winners = with_h.select_columns(["__hash", idc]) \
+        .groupby("__hash").aggregate(Min(idc, alias_name="__keep"))
+    return first_wins_filter(with_h, winners, "__hash", idc) \
+        .drop_columns(["__hash"])
 
 
 # ------------------------------------------------------------ minhash LSH

@@ -53,6 +53,22 @@ def _probe_sorted(keys: np.ndarray, codes: np.ndarray,
     return codes[idx_c], ok
 
 
+def _sorted_build(keys: np.ndarray, codes: np.ndarray):
+    """Sort a broadcast-join build side and flag duplicate keys.
+
+    Duplicate-build-key guard (VERDICT r3 item 4): ``_probe_sorted``
+    returns ONE match per probe key — exactly inner-join semantics only
+    when the build side is a primary key. A duplicated key silently
+    yields one-row-per-probe where SQL gives one-to-many, so every
+    broadcast plan checks ``dup`` and falls back to the native
+    hash-partitioned ``Dataset.join`` plan when keys aren't unique.
+    Returns (sorted_keys, aligned_codes, dup)."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    dup = bool((ks[1:] == ks[:-1]).any()) if len(ks) > 1 else False
+    return ks, codes[order], dup
+
+
 # ---------------------------------------------------------------- Q1-style
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """Grouped aggregate with per-batch partial aggregation (combiner)."""
@@ -116,10 +132,13 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
 
-    if cust.num_rows <= BROADCAST_CUST_LIMIT:
-        order_keys = np.argsort(cust["c_custkey"].to_numpy(), kind="stable")
-        keys = cust["c_custkey"].to_numpy()[order_keys]
-        codes = cust["c_nationkey"].to_numpy().astype(np.int8)[order_keys]
+    use_broadcast = cust.num_rows <= BROADCAST_CUST_LIMIT
+    if use_broadcast:
+        keys, codes, dup = _sorted_build(
+            cust["c_custkey"].to_numpy(),
+            cust["c_nationkey"].to_numpy().astype(np.int8))
+        use_broadcast = not dup     # duplicate custkey → one-to-many
+    if use_broadcast:
         dim_ref = ray.put((keys, codes))
 
         class JoinAgg:
@@ -200,10 +219,12 @@ def lineitem_orders_join(sf_dir: str) -> pd.DataFrame:
                            columns=["o_orderkey", "o_orderpriority"])
     prio = orders["o_orderpriority"].to_pandas()
     cats = np.asarray(sorted(prio.unique()))
-    codes = pd.Categorical(prio, categories=cats).codes.astype(np.int8)
-    keys = orders["o_orderkey"].to_numpy()
-    order_idx = np.argsort(keys, kind="stable")
-    side_ref = ray.put((keys[order_idx], codes[order_idx]))
+    keys, codes, dup = _sorted_build(
+        orders["o_orderkey"].to_numpy(),
+        pd.Categorical(prio, categories=cats).codes.astype(np.int8))
+    if dup:                     # duplicate orderkey → one-to-many join
+        return lineitem_orders_join_native(sf_dir)
+    side_ref = ray.put((keys, codes))
 
     class ProbeAgg:
         def __init__(self):
@@ -655,10 +676,12 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
                          columns=["c_custkey", "c_mktsegment"])
     seg = cust["c_mktsegment"].to_pandas()
     cats = np.asarray(sorted(seg.unique()))
-    codes = pd.Categorical(seg, categories=cats).codes.astype(np.int8)
-    keys = cust["c_custkey"].to_numpy()
-    order_idx = np.argsort(keys, kind="stable")
-    side_ref = ray.put((keys[order_idx], codes[order_idx]))
+    keys, codes, dup = _sorted_build(
+        cust["c_custkey"].to_numpy(),
+        pd.Categorical(seg, categories=cats).codes.astype(np.int8))
+    if dup or cust.num_rows > BROADCAST_CUST_LIMIT:
+        return _top_orders_per_segment_native(sf_dir, k)
+    side_ref = ray.put((keys, codes))
 
     class SegTopK:
         def __init__(self):
@@ -700,6 +723,38 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
                      ascending=[True, False, True]).reset_index(drop=True)
 
 
+def _top_orders_per_segment_native(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Shuffle-path per-segment top-k (duplicate build keys / above the
+    broadcast guard): native hash-partitioned join gives full
+    one-to-many semantics, then per-batch partial top-k per segment and
+    a tiny driver reduce — SQL window-equivalent on dirty data."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]) \
+            .groupby("c_mktsegment", as_index=False).head(k)
+        return pa.Table.from_pandas(
+            g[["c_mktsegment", "o_orderkey", "o_totalprice"]],
+            preserve_index=False)
+
+    parts = joined.map_batches(partial_topk,
+                               batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]) \
+        .groupby("c_mktsegment", as_index=False).head(k)
+    return out[["c_mktsegment", "o_orderkey", "o_totalprice"]] \
+        .sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+
+
 # ------------------------------------------------------ outer joins
 def orders_customer_left_join(sf_dir: str) -> pd.DataFrame:
     """Left-outer fact⋈dim join: every order survives; orders whose
@@ -717,10 +772,12 @@ def orders_customer_left_join(sf_dir: str) -> pd.DataFrame:
         return _orders_customer_left_join_native(sf_dir)
     seg = cust["c_mktsegment"].to_pandas()
     cats = np.asarray(sorted(seg.unique()))
-    codes = pd.Categorical(seg, categories=cats).codes.astype(np.int8)
-    keys = cust["c_custkey"].to_numpy()
-    order_idx = np.argsort(keys, kind="stable")
-    side_ref = ray.put((keys[order_idx], codes[order_idx]))
+    keys, codes, dup = _sorted_build(
+        cust["c_custkey"].to_numpy(),
+        pd.Categorical(seg, categories=cats).codes.astype(np.int8))
+    if dup:                     # duplicate custkey → one-to-many join
+        return _orders_customer_left_join_native(sf_dir)
+    side_ref = ray.put((keys, codes))
 
     class LeftAgg:
         def __init__(self):
