@@ -63,6 +63,39 @@ def entry() -> Any:
     return _extract_summary("/root/testdata/sf0.001")
 
 
+def _extract_pages_summary(sf_dir: str) -> ray.data.Dataset:
+    """SQL-checkable projection of the FLAGSHIP extraction (VERDICT r3
+    item 5): the synthetic pages corpus is pure doc_id arithmetic, so
+    for the html/empty families the extracted (status, kind, n_pages,
+    n_tables, title) are CASE-expressible — the DuckDB oracle recomputes
+    them from documents alone and a wrong parse breaks the hash match.
+    PDF rows are excluded (their page count depends on the greedy
+    60-char line wrap, not SQL-expressible); the full-corpus rows-only
+    check stays in ``extract_pages``."""
+    ds = synth_pages(sf_dir)
+    out = extract_dataset(ds)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        ids = np.fromiter((int(u[-8:]) for u in t["url"].to_pylist()),
+                          np.int64, t.num_rows)
+        t = t.append_column("doc_id", pa.array(ids, pa.int64()))
+        t = t.filter(pa.array(ids % 41 != 7))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "status": t["status"],
+            "kind": t["kind"],
+            "title": t["title"],
+            "n_pages": pc.cast(pc.list_value_length(t["pages"]),
+                               pa.int64()),
+            "n_tables": pc.cast(pc.list_value_length(t["tables"]),
+                                pa.int64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
@@ -129,12 +162,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship C4-style curation composition (quality gate → exact
         # dedup → near-dup removal), SQL-checked end-to-end
         "curate_corpus": _curate.curate_corpus,
-        # transitive near-dup clustering: union-find over the verified
-        # pair set; oracle = recursive-CTE connected components
+        # transitive near-dup clustering: union-find over the EXACT
+        # Jaccard pair set (distributed gram-inverted-index — zero LSH
+        # false negatives, so the recursive-CTE oracle parity claim is
+        # unconditional; ADVICE r3). The minhash-fed variant remains the
+        # approximate-at-scale library path, pinned equal in pytest.
         "neardup_clusters": lambda sf: _curate.neardup_clusters(
-            _dedup.minhash_neardups(sf, threshold=0.6)),
+            _dedup.exact_jaccard_pairs(sf, threshold=0.6)),
         # flagship extraction (non-SQL: DOM/PDF parse + segmentation)
         "extract_pages": _extract_summary,
+        # SQL-checked projection of the flagship: html/empty families'
+        # summary is doc_id arithmetic (PDF page counts excluded)
+        "extract_pages_summary": _extract_pages_summary,
+        # planted-script language-ID gate: transliterated docs must
+        # classify to the script's language (doc_id arithmetic oracle)
+        "lang_id_planted": _ts.lang_id_planted,
     }
 
 
@@ -678,6 +720,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, 10 AS k,
                    {_ann.IVF_RECALL_BAR} AS recall_floor
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        # flagship extraction summary, recomputed from documents alone:
+        # the synthetic corpus plants html (title = 'Doc {id} ({source})',
+        # one page, a <table> iff doc_id%7==0 with >=2 sentences) and
+        # empty (doc_id%53==11) families; PDF rows (doc_id%41==7) are
+        # excluded (page count = greedy line wrap, not SQL-expressible)
+        "extract_pages_summary": """
+            SELECT doc_id,
+                   'ok' AS status,
+                   CASE WHEN doc_id % 53 = 11 THEN 'empty'
+                        ELSE 'html' END AS kind,
+                   CASE WHEN doc_id % 53 = 11 THEN ''
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                             || ' (' || source || ')' END AS title,
+                   CASE WHEN doc_id % 53 = 11 THEN 0 ELSE 1 END AS n_pages,
+                   CASE WHEN doc_id % 53 = 11 THEN 0
+                        WHEN doc_id % 7 = 0 AND
+                             (CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(regexp_split_to_array(
+                                            trim(text), '\\s+')) END) > 12
+                        THEN 1 ELSE 0 END AS n_tables
+            FROM documents
+            WHERE doc_id % 41 <> 7
+        """,
+        # planted-script language ID: docs transliterated into
+        # Cyrillic/Greek/CJK/Hangul by doc_id%5 must classify to that
+        # script's language (marker-free Cyrillic range → exactly 'ru')
+        "lang_id_planted": """
+            SELECT doc_id,
+                   CASE doc_id % 5 WHEN 1 THEN 'ru' WHEN 2 THEN 'el'
+                                   WHEN 3 THEN 'zh' ELSE 'ko'
+                   END AS detected_lang
+            FROM documents
+            WHERE doc_id % 5 <> 0 AND regexp_matches(text, '[A-Za-z]')
         """,
         "embedding_neardups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

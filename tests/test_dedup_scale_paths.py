@@ -85,6 +85,29 @@ def test_curate_corpus_shuffle_path_matches_oracle(ray_session,
     assert np.allclose(got["quality"], want["quality"])
 
 
+def test_exact_jaccard_distributed_matches_quadratic(ray_session,
+                                                     dup_docs):
+    """The gram-inverted-index plan is EXACT: identical pair set and
+    jaccard values to the independent quadratic driver loop."""
+    dist = _dedup.exact_jaccard_pairs(dup_docs, threshold=0.5)
+    quad = _dedup._quadratic_jaccard_pairs(dup_docs, threshold=0.5) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, quad)
+    assert len(dist) >= 6
+
+
+def test_neardup_clusters_exact_vs_minhash(ray_session, dup_docs):
+    """The SQL-checked clusters query feeds from the exact pair set
+    (zero false negatives by construction); the minhash-fed variant is
+    the approximate-at-scale path — equal here, with the documented
+    residual LSH miss probability ((1-j^4)^16 ≈ 4e-8 at j=0.9)."""
+    exact = _curate.neardup_clusters(
+        _dedup.exact_jaccard_pairs(dup_docs, threshold=0.6))
+    approx = _curate.neardup_clusters(
+        _dedup.minhash_neardups(dup_docs, threshold=0.6))
+    pd.testing.assert_frame_equal(exact, approx)
+
+
 def test_hub_doc_ships_once_per_partition(ray_session, tmp_path,
                                           monkeypatch):
     """VERDICT r3 item 1 pin: a doc appearing in 150 candidate pairs

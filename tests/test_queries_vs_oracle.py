@@ -76,6 +76,9 @@ def test_all_queries_run(entrymod):
     "order_price_quantiles", "top_orders_per_segment",
     "orders_customer_left_join", "events_running_total",
     "neardup_clusters",
+    # r4 additions: the flagship extraction's CASE-expressible summary
+    # and the planted-script language-ID gate
+    "extract_pages_summary", "lang_id_planted",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

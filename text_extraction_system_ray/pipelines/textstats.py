@@ -159,38 +159,134 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
                           concurrency=(1, 12))
 
 
-def fingerprint(sf_dir: str, k: int = 8, n_keep: int = 4) -> ray.data.Dataset:
+class FingerprintStage:
     """Winnowing-style document fingerprint, oracle-checkable: md5-low64
     rolling window over word k-grams; keep the ``n_keep`` smallest gram
     hashes; fingerprint = first 16 hex chars of md5 over their
-    comma-joined decimal values. Deterministic, whitespace-insensitive,
-    and — because every hash is md5 — recomputable bit-exactly by the
-    DuckDB oracle (same pattern as ``dedup.SimhashStage``). Docs shorter
-    than ``k`` tokens (including empty) contribute one whole-run gram.
+    comma-joined decimal values. Docs shorter than ``k`` tokens
+    (including empty) contribute one whole-run gram.
 
-    Per batch the gram strings are built flat and hashed in one pass;
-    the min-``n_keep`` selection is ``np.partition`` per doc segment."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    Stateful actor stage (VERDICT r3 item 8): the batch's gram strings
+    are built flat and hashed in ONE vectorized call — DuckDB's C md5
+    kernel over an Arrow column (bit-identical to both hashlib and the
+    SQL oracle, measured 3× faster than a per-gram hashlib loop; the
+    unique-gram cache trick is a LOSS here — ~95 % of word-8-grams are
+    unique, so ``np.unique`` costs more than the md5 it saves). The
+    min-``n_keep`` selection is ``np.partition`` per doc segment."""
 
-    def fn(t: pa.Table) -> pa.Table:
-        fps, nsh = [], []
-        for x in t.column("text").to_pylist():
+    def __init__(self, k: int = 8, n_keep: int = 4):
+        self.k = k
+        self.n_keep = n_keep
+        try:
+            import duckdb
+            self._con = duckdb.connect()
+        except Exception:                    # pragma: no cover - env gate
+            self._con = None
+
+    def _md5_low64(self, grams: List[str]) -> np.ndarray:
+        if self._con is not None and grams:
+            gt = pa.table({"g": pa.array(grams, pa.string())})
+            self._con.register("gt", gt)
+            try:
+                out = self._con.execute(
+                    "SELECT CAST(concat('0x', substr(md5(g), 1, 16)) "
+                    "AS UBIGINT) AS h FROM gt").arrow()
+            finally:
+                self._con.unregister("gt")
+            return out["h"].to_numpy().astype(np.uint64)
+        md5 = hashlib.md5
+        return np.fromiter(
+            (int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big")
+             for g in grams), np.uint64, len(grams))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        k = self.k
+        counts = np.empty(len(texts), np.int64)
+        grams: List[str] = []
+        for di, x in enumerate(texts):
             toks = _tokens((x or "").lower())
-            grams = [" ".join(toks[i:i + k])
-                     for i in range(max(1, len(toks) - k + 1))]
-            h = np.fromiter(
-                (int.from_bytes(
-                    hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
-                 for g in grams), np.uint64, len(grams))
-            keep = np.sort(np.partition(h, min(n_keep, len(h)) - 1)
-                           [:n_keep])
-            fp = hashlib.md5(",".join(str(int(v)) for v in keep)
-                             .encode("ascii")).hexdigest()[:16]
-            fps.append(fp)
-            nsh.append(len(grams))
+            g = [" ".join(toks[i:i + k])
+                 for i in range(max(1, len(toks) - k + 1))]
+            counts[di] = len(g)
+            grams.extend(g)
+        h = self._md5_low64(grams)
+        ptr = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        md5 = hashlib.md5
+        nk = self.n_keep
+        fps = []
+        for i in range(len(texts)):
+            hh = h[ptr[i]:ptr[i + 1]]
+            keep = np.sort(np.partition(hh, min(nk, len(hh)) - 1)[:nk])
+            fps.append(md5(",".join(str(int(v)) for v in keep)
+                           .encode("ascii")).hexdigest()[:16])
         return pa.table({"doc_id": t["doc_id"],
                          "fingerprint": pa.array(fps, pa.string()),
-                         "n_shingles": pa.array(nsh, pa.int64())})
+                         "n_shingles": pa.array(counts, pa.int64())})
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+
+# deterministic ASCII→script transliteration tables for the planted
+# language-ID oracle: letter index i maps into a marker-free range of
+# the target script (Cyrillic avoids the ru/uk/bg discriminator chars so
+# the expected answer is exactly 'ru'); uppercase maps like lowercase
+def _translit(target):
+    m = {}
+    for i in range(26):
+        m[ord("a") + i] = target(i)
+        m[ord("A") + i] = target(i)
+    return m
+
+
+_PLANT_TABLES = {
+    1: _translit(lambda i: 0x0430 + min(i, 24)),   # Cyrillic а..ш → ru
+    2: _translit(lambda i: 0x03B1 + (i % 24)),     # Greek α..ψ   → el
+    3: _translit(lambda i: 0x4E00 + i),            # CJK          → zh
+    4: _translit(lambda i: 0xAC00 + i),            # Hangul       → ko
+}
+_PLANT_EXPECT = {1: "ru", 2: "el", 3: "zh", 4: "ko"}
+_HAS_ALPHA = re.compile(r"[A-Za-z]")
+
+
+class LangIdPlanted:
+    """Planted-script oracle for the language detector (VERDICT r3 item
+    6): docs with ``doc_id % 5 ∈ {1,2,3,4}`` (and ≥1 ASCII letter) are
+    deterministically transliterated into Cyrillic/Greek/CJK/Hangul and
+    run through the REAL ``detect_language``; the expected answer is
+    pure doc_id arithmetic, so the DuckDB oracle recomputes it with a
+    CASE — a wrong script classification breaks the hash match."""
+
+    def __init__(self):
+        from ..functions.lang import detect_language
+        self._detect = detect_language
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t.column("text").to_pylist()
+        out_id: List[int] = []
+        out_lang: List[str] = []
+        for d, x in zip(ids, texts):
+            fam = int(d) % 5
+            if fam == 0 or not _HAS_ALPHA.search(x or ""):
+                continue
+            out_id.append(int(d))
+            out_lang.append(self._detect((x or "")
+                                         .translate(_PLANT_TABLES[fam])))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "detected_lang": pa.array(out_lang, pa.string())})
+
+
+def lang_id_planted(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LangIdPlanted, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 8))
+
+
+def fingerprint(sf_dir: str, k: int = 8, n_keep: int = 4) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(FingerprintStage,
+                          fn_constructor_kwargs={"k": k, "n_keep": n_keep},
+                          batch_format="pyarrow", batch_size=512,
+                          concurrency=(1, 8))
