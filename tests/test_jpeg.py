@@ -76,12 +76,18 @@ def test_non_multiple_of_8_dims():
     assert out.shape == (13, 21)
 
 
-def test_progressive_is_gated_junk_is_valueerror():
-    # SOF2 (progressive) -> NotImplementedError, clearly gated
-    blob = b"\xff\xd8" + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) +
+def test_unsupported_codings_gated_junk_is_valueerror():
+    # arithmetic-coded (SOF9) -> NotImplementedError, clearly gated
+    # (SOF2 progressive is SUPPORTED as of r4 — tests/test_jpeg_progressive.py)
+    blob = b"\xff\xd8" + _seg(0xC9, struct.pack(">BHHB", 8, 8, 8, 1) +
                               bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
         decode_jpeg(blob)
+    # SOF2 with no scans at all is malformed, not gated
+    blob2 = b"\xff\xd8" + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) +
+                               bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError):
+        decode_jpeg(blob2)
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")          # no SOS
     with pytest.raises(ValueError):

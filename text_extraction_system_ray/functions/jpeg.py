@@ -197,9 +197,12 @@ def _extend(v: int, t: int) -> int:
 
 # ------------------------------------------------------------- decoder
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 array: (H, W) grayscale or
-    (H, W, 3) RGB. Raises ValueError on malformed input and
-    NotImplementedError for progressive/arithmetic/12-bit codestreams."""
+    """JPEG bytes → uint8 array: (H, W) grayscale or (H, W, 3) RGB.
+    Supports baseline sequential (SOF0) and PROGRESSIVE (SOF2: spectral
+    selection + successive approximation, T.81 Annex G — the majority
+    encoding of real web JPEGs; VERDICT r3 item 7). Raises ValueError on
+    malformed input and NotImplementedError for arithmetic-coded /
+    hierarchical / 12-bit codestreams."""
     if not is_jpeg(data):
         raise ValueError("jpeg: bad SOI")
     try:
@@ -208,23 +211,41 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"jpeg: truncated segment: {e}")
 
 
+def _mcu_geometry(frame, comps):
+    h, w, _ = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("jpeg: bad sampling factors")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
 def _parse_and_decode(data: bytes) -> np.ndarray:
     pos = 2
     qtables: Dict[int, np.ndarray] = {}
     htables: Dict[Tuple[int, int], Dict] = {}   # (class, id) -> table
     frame = None
+    progressive = False
     restart_interval = 0
     comps: List[dict] = []
-    while pos + 4 <= len(data):
+    coefs: Optional[List[np.ndarray]] = None
+    n_scans = 0
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
         marker = data[pos + 1]
         if marker == 0xD9:                       # EOI
             break
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:   # TEM/RSTn/SOI
+            pos += 2
+            continue
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "jpeg: only baseline sequential (SOF0) is supported")
+                "jpeg: only baseline (SOF0) and progressive (SOF2) "
+                "Huffman codestreams are supported")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:                       # DQT
@@ -243,7 +264,8 @@ def _parse_and_decode(data: bytes) -> np.ndarray:
                 if len(q) != 64:
                     raise ValueError("jpeg: truncated DQT")
                 qtables[tid] = q
-        elif marker == 0xC0:                     # SOF0
+        elif marker in (0xC0, 0xC2):             # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("jpeg: only 8-bit samples")
@@ -254,6 +276,12 @@ def _parse_and_decode(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = (h, w, nc)
+            if progressive:
+                if h == 0 or w == 0:
+                    raise ValueError("jpeg: zero dimension")
+                _, _, mcux, mcuy = _mcu_geometry(frame, comps)
+                coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                  np.int64) for c in comps]
         elif marker == 0xC4:                     # DHT
             b = 0
             while b < len(body):
@@ -268,17 +296,256 @@ def _parse_and_decode(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                     # SOS
             ns = body[0]
+            scan_ids = []
             for si in range(ns):
                 cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                scan_ids.append(cs)
                 for c in comps:
                     if c["id"] == cs:
                         c["td"] = tables >> 4
                         c["ta"] = tables & 0x0F
             scan_pos = pos + 2 + seglen
-            return _decode_scan(data, scan_pos, frame, comps, qtables,
-                                htables, restart_interval)
+            if not progressive:
+                return _decode_scan(data, scan_pos, frame, comps,
+                                    qtables, htables, restart_interval)
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], \
+                body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, scan_pos, frame, comps, scan_ids, coefs, htables,
+                restart_interval, ss, se, ahal >> 4, ahal & 0x0F)
+            n_scans += 1
+            continue
         pos += 2 + seglen
+    if progressive and coefs is not None and n_scans:
+        return _finish_progressive(frame, comps, coefs, qtables)
     raise ValueError("jpeg: no SOS marker")
+
+
+# ------------------------------------------------- progressive (SOF2)
+def _comp_block_grid(frame, comps, c) -> Tuple[int, int]:
+    """Non-interleaved block grid of one component: ceil over the
+    component's sample dimensions (T.81 A.2.2), NOT the MCU-padded
+    grid."""
+    h, w, _ = frame
+    hmax, vmax, _, _ = _mcu_geometry(frame, comps)
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Position of the next true marker (skips stuffed 0xFF00 and RSTn)
+    after an entropy-coded segment."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:     # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(data, pos, frame, comps, scan_ids, coefs,
+                             htables, restart_interval,
+                             ss, se, ah, al) -> int:
+    """One SOF2 scan (T.81 G.2): DC scans (Ss=0) in MCU order when
+    interleaved; AC scans single-component in the component's own block
+    raster order; Ah=0 first pass / Ah>0 refinement with EOB runs.
+    Returns the stream position of the next marker."""
+    if frame is None or coefs is None:
+        raise ValueError("jpeg: SOS before SOF")
+    scomps = []
+    for cid in scan_ids:
+        for ci, c in enumerate(comps):
+            if c["id"] == cid:
+                scomps.append((ci, c))
+    if len(scomps) != len(scan_ids):
+        raise ValueError("jpeg: scan references unknown component")
+    reader = _BitReader(data, pos)
+
+    if ss == 0:                                  # DC scan
+        if se != 0:
+            raise ValueError("jpeg: bad DC spectral range")
+        _decode_dc_scan(reader, frame, comps, scomps, coefs, htables,
+                        restart_interval, ah, al)
+    else:                                        # AC scan
+        if len(scomps) != 1:
+            raise ValueError("jpeg: interleaved AC scan")
+        if se > 63 or ss > se:
+            raise ValueError("jpeg: bad spectral range")
+        _decode_ac_scan(reader, frame, comps, scomps[0], coefs, htables,
+                        restart_interval, ss, se, ah, al)
+    return _next_marker_pos(data, reader.pos)
+
+
+def _decode_dc_scan(reader, frame, comps, scomps, coefs, htables,
+                    restart_interval, ah, al):
+    preds = [0] * len(scomps)
+    if len(scomps) > 1:                          # interleaved MCU order
+        _, _, mcux, mcuy = _mcu_geometry(frame, comps)
+        unit_total = mcux * mcuy
+
+        def units():
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    yield [(si, c, my * c["v"] + by, mx * c["h"] + bx)
+                           for si, (ci, c) in enumerate(scomps)
+                           for by in range(c["v"])
+                           for bx in range(c["h"])]
+    else:                                        # one block per unit
+        ci0, c0 = scomps[0]
+        bh, bw = _comp_block_grid(frame, comps, c0)
+        unit_total = bh * bw
+
+        def units():
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(0, c0, by, bx)]
+
+    count = 0
+    for unit in units():
+        if restart_interval and count and count % restart_interval == 0:
+            reader.align_to_restart()
+            preds = [0] * len(scomps)
+        for si, c, by, bx in unit:
+            ci = scomps[si][0]
+            block = coefs[ci]
+            if ah == 0:                          # first DC pass
+                dc_tab = htables.get((0, c.get("td", 0)))
+                if dc_tab is None:
+                    raise ValueError("jpeg: missing Huffman table")
+                t = reader.decode_symbol(dc_tab)
+                preds[si] += _extend(reader.get_bits(t), t)
+                block[by, bx, 0] = preds[si] << al
+            else:                                # DC refinement
+                if reader.get_bits(1):
+                    block[by, bx, 0] |= (1 << al)
+        count += 1
+
+
+def _decode_ac_scan(reader, frame, comps, scomp, coefs, htables,
+                    restart_interval, ss, se, ah, al):
+    ci, c = scomp
+    ac_tab = htables.get((1, c.get("ta", 0)))
+    if ac_tab is None:
+        raise ValueError("jpeg: missing Huffman table")
+    bh, bw = _comp_block_grid(frame, comps, c)
+    plane = coefs[ci]
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and count and \
+                    count % restart_interval == 0:
+                reader.align_to_restart()
+                eobrun = 0
+            count += 1
+            coef = plane[by, bx]
+            if ah == 0:                          # first pass for band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:              # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.get_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC overflow")
+                    coef[k] = _extend(reader.get_bits(s), s) << al
+                    k += 1
+            else:                                # refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_symbol(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.get_bits(r)
+                                break
+                            val = 0              # ZRL: 16 zero-history
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: bad refinement magnitude")
+                            val = p1 if reader.get_bits(1) else m1
+                        # pass r zero-history coefs, refining nonzeros
+                        while k <= se:
+                            if coef[k] != 0:
+                                if reader.get_bits(1) and \
+                                        (coef[k] & p1) == 0:
+                                    coef[k] += p1 if coef[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            coef[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # end-of-band: refine remaining nonzeros to Se
+                    while k <= se:
+                        if coef[k] != 0:
+                            if reader.get_bits(1) and \
+                                    (coef[k] & p1) == 0:
+                                coef[k] += p1 if coef[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _finish_progressive(frame, comps, coefs, qtables) -> np.ndarray:
+    h, w, nc = frame
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: zero dimension")
+    hmax, vmax, _, _ = _mcu_geometry(frame, comps)
+    out_planes = []
+    for c, blocks in zip(comps, coefs):
+        if c["tq"] not in qtables:
+            raise ValueError("jpeg: missing quant table")
+        q = qtables[c["tq"]]
+        by, bx = blocks.shape[:2]
+        dq = blocks.astype(np.float64) * q[None, None, :]
+        nat = np.zeros_like(dq)
+        nat[:, :, ZIGZAG] = dq
+        b8 = nat.reshape(by, bx, 8, 8)
+        # all blocks' IDCT in one einsum: C.T @ blk @ C
+        spat = np.einsum("ij,yxjk,kl->yxil", _C.T, b8, _C) + 128.0
+        p = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        sy = vmax // c["v"]
+        sx = hmax // c["h"]
+        if sy > 1 or sx > 1:
+            p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
+        out_planes.append(p[:h, :w])
+    if nc == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    if nc == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"jpeg: {nc}-component images unsupported")
 
 
 def _decode_scan(data, pos, frame, comps, qtables, htables,
@@ -422,6 +689,120 @@ def _huff_encode_tables(spec) -> Dict[int, Tuple[int, int]]:
     return table
 
 
+def _pack_bits(bitout: list) -> bytes:
+    """(value, nbits) stream → byte-stuffed entropy data (1-padded)."""
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for val, nb in bitout:
+        if nb == 0:
+            continue
+        acc = (acc << nb) | (val & ((1 << nb) - 1))
+        nacc += nb
+        while nacc >= 8:
+            nacc -= 8
+            byte = (acc >> nacc) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+    if nacc:
+        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht_body(tc, th, spec):
+    bits, huffval = spec
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(huffval)
+
+
+def encode_progressive_jpeg(img: np.ndarray, quality_tables=None) -> bytes:
+    """Minimal PROGRESSIVE (SOF2) encoder: grayscale, spectral selection
+    only — scan 1 = DC (Ss=0, Se=0), scan 2 = the full AC band (Ss=1,
+    Se=63), no successive approximation. Fixture/corpus generator for
+    the progressive decode path; decoding its output must equal decoding
+    the baseline encoding of the same image bit-exactly (same quantized
+    coefficients, same reconstruction — property-tested)."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise NotImplementedError("progressive encoder: grayscale only")
+    h, w = img.shape
+    luma_q = STD_LUMA_Q if quality_tables is None else quality_tables[0]
+    dc_tab = _huff_encode_tables(STD_DC_LUMA)
+    ac_tab = _huff_encode_tables(STD_AC_LUMA)
+
+    bh = (h + 7) // 8
+    bw = (w + 7) // 8
+    qblocks = []
+    p = img.astype(np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            ys = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            blk = np.pad(ys, ((0, 8 - ys.shape[0]),
+                              (0, 8 - ys.shape[1])), mode="edge")
+            coef8 = _C @ (blk - 128.0) @ _C.T
+            qblocks.append(np.rint(coef8.reshape(-1)[ZIGZAG] / luma_q)
+                           .astype(np.int64))
+
+    def magnitude(v: int) -> Tuple[int, int]:
+        if v == 0:
+            return 0, 0
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return t, (v if v > 0 else v + (1 << t) - 1)
+
+    # scan 1: DC only (differential, same as baseline)
+    dc_bits: list = []
+    pred = 0
+    for coef in qblocks:
+        t, bits = magnitude(int(coef[0]) - pred)
+        dc_bits.append(dc_tab[t])
+        if t:
+            dc_bits.append((bits, t))
+        pred = int(coef[0])
+
+    # scan 2: AC band 1..63 (per-block EOB = EOBRUN of exactly 1)
+    ac_bits: list = []
+    for coef in qblocks:
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if coef[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = int(coef[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_bits.append(ac_tab[0xF0])
+                run -= 16
+            t, bits = magnitude(v)
+            ac_bits.append(ac_tab[(run << 4) | t])
+            ac_bits.append((bits, t))
+            run = 0
+        if last_nz < 63:
+            ac_bits.append(ac_tab[0x00])
+
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    blob = b"\xff\xd8"
+    blob += _seg(0xDB, bytes([0]) + bytes(int(x) for x in luma_q))
+    blob += _seg(0xC2, sof)
+    blob += _seg(0xC4, _dht_body(0, 0, STD_DC_LUMA))
+    blob += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    blob += _pack_bits(dc_bits)
+    blob += _seg(0xC4, _dht_body(1, 0, STD_AC_LUMA))
+    blob += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    blob += _pack_bits(ac_bits)
+    blob += b"\xff\xd9"
+    return blob
+
+
 def encode_jpeg(img: np.ndarray, quality_tables=None) -> bytes:
     """Minimal baseline encoder: grayscale (H, W) or RGB (H, W, 3),
     4:4:4, standard Annex K tables. For fixtures and bounded-error
@@ -467,35 +848,9 @@ def encode_jpeg(img: np.ndarray, quality_tables=None) -> bytes:
                                           ac_tabs[ci if not gray else 0],
                                           bitout)
 
-    # bit-pack with 0xFF stuffing
-    out = bytearray()
-    acc = 0
-    nacc = 0
-    for val, nb in bitout:
-        if nb == 0:
-            continue
-        acc = (acc << nb) | (val & ((1 << nb) - 1))
-        nacc += nb
-        while nacc >= 8:
-            nacc -= 8
-            byte = (acc >> nacc) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-    if nacc:
-        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-        out.append(byte)
-        if byte == 0xFF:
-            out.append(0x00)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
-            + body
-
-    def dht_body(tc, th, spec):
-        bits, huffval = spec
-        return bytes([tc << 4 | th]) + bytes(bits) + bytes(huffval)
-
+    out = _pack_bits(bitout)
+    seg = _seg
+    dht_body = _dht_body
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     sos = bytes([nc])

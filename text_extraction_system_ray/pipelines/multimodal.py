@@ -135,10 +135,11 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
     """Deterministic binary image column derived from documents (doc_id
     seeds size + pixels); every 17th row (≡5) is corrupt to exercise the
     error path, every 17th row (≡11) is a REAL grayscale PNG and every
-    17th row (≡13) a REAL baseline JPEG (both encoded by the pure-numpy
-    codecs) so the encoded-bitmap decode paths run inside the standard
-    pipeline, not just in unit tests."""
-    from ..functions.jpeg import encode_jpeg
+    17th row (≡13) a REAL JPEG — baseline SOF0 for odd doc_ids,
+    PROGRESSIVE SOF2 for even (all encoded by the pure-numpy codecs) —
+    so the encoded-bitmap decode paths run inside the standard pipeline,
+    not just in unit tests."""
+    from ..functions.jpeg import encode_jpeg, encode_progressive_jpeg
     from ..functions.png import encode_png
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
@@ -157,8 +158,11 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
                     rng.randint(0, 256, size=(h, w)).astype(np.uint8)))
             elif d % 17 == 13:
                 rng = np.random.RandomState(d & 0x7FFFFFFF)
-                payloads.append(encode_jpeg(
-                    rng.randint(0, 256, size=(h, w)).astype(np.uint8)))
+                img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+                # half the JPEG rows are PROGRESSIVE (SOF2) — same dims
+                # and mode, so the summary oracle CASE is unchanged
+                payloads.append(encode_progressive_jpeg(img)
+                                if d % 2 == 0 else encode_jpeg(img))
             else:
                 payloads.append(encode_fake_image(w, h, 3, seed=d))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
