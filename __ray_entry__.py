@@ -542,10 +542,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 17 = 5 THEN 0
                         ELSE 8 + (doc_id % 3) * 4 END AS height,
                    CASE WHEN doc_id % 17 = 5 THEN 0
-                        WHEN doc_id % 17 IN (11, 13) THEN 1
+                        WHEN doc_id % 17 IN (7, 11, 13) THEN 1
                         ELSE 3 END AS channels,
                    CASE WHEN doc_id % 17 = 5 THEN ''
-                        WHEN doc_id % 17 IN (11, 13) THEN 'L'
+                        WHEN doc_id % 17 IN (7, 11, 13) THEN 'L'
                         ELSE 'RGB' END AS mode
             FROM documents
         """,

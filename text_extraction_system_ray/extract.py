@@ -32,6 +32,9 @@ def image_dims(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         from .functions.jpeg import jpeg_dims
         return jpeg_dims(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .functions.tiff import tiff_dims
+        return tiff_dims(payload)
     from .functions.gif import gif_dims
     return gif_dims(payload)
 
@@ -61,7 +64,8 @@ def sniff_kind(payload: Optional[bytes]) -> str:
     if PDF_MAGIC in payload[:1024]:
         return "pdf"
     if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8" \
-            or payload[:6] in (b"GIF87a", b"GIF89a"):
+            or payload[:6] in (b"GIF87a", b"GIF89a") \
+            or payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "image"
     head = payload[:4096]
     # C-speed control-byte count: delete everything non-control, measure

@@ -78,6 +78,9 @@ def decode_l_image(payload: bytes) -> np.ndarray:
     from ..functions.gif import gif_gray, is_gif
     if is_gif(payload):
         return gif_gray(payload)
+    from ..functions.tiff import is_tiff, tiff_gray
+    if is_tiff(payload):
+        return tiff_gray(payload)
     from ..pipelines.multimodal import _decode_image
     arr, _mode = _decode_image(payload)
     if arr.shape[2] == 1:

@@ -42,8 +42,10 @@ def _decode_image(payload: bytes):
     real baseline JPEGs through :mod:`..functions.jpeg` (T.81 SOF0:
     Huffman + dequant + IDCT + chroma upsample) and GIF87a/89a through
     :mod:`..functions.gif` (LZW + palette + interlace); the
-    deterministic FAKEIMG1 fixture format stands in for the remaining
-    formats (WebP/TIFF raise NotImplementedError, clearly marked)."""
+    and baseline TIFFs through :mod:`..functions.tiff` (strips,
+    none/LZW/PackBits, predictor 2). The deterministic FAKEIMG1 fixture
+    format stands in for the remaining formats (WebP raises
+    NotImplementedError, clearly marked)."""
     from ..functions import jpeg as _jpeg
     from ..functions import png as _png
     if payload is None or len(payload) < 8:
@@ -64,14 +66,20 @@ def _decode_image(payload: bytes):
     from ..functions import gif as _gif
     if _gif.is_gif(payload):
         return _gif.decode_gif(payload), "RGB"
+    from ..functions import tiff as _tiff
+    if _tiff.is_tiff(payload):
+        arr = _tiff.decode_tiff(payload)
+        if arr.ndim == 2:
+            return arr[:, :, None], "L"
+        return arr, "RGB"
     if len(payload) < _HEADER.size:
         raise ValueError("payload too short")
     magic, w, h, c, mode = _HEADER.unpack_from(payload, 0)
     if magic != MAGIC:
         raise NotImplementedError(
             "real decoding of this format is stubbed in this "
-            "environment (no PIL/cv2); PNG, baseline JPEG, GIF and the "
-            "FAKEIMG1 fixture format decode")
+            "environment (no PIL/cv2); PNG, JPEG (SOF0/SOF2), GIF, "
+            "baseline TIFF and the FAKEIMG1 fixture format decode")
     body = payload[_HEADER.size:]
     if len(body) != w * h * c:
         raise ValueError("payload length mismatch")
@@ -134,13 +142,15 @@ class DecodeImages:
 def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
     """Deterministic binary image column derived from documents (doc_id
     seeds size + pixels); every 17th row (≡5) is corrupt to exercise the
-    error path, every 17th row (≡11) is a REAL grayscale PNG and every
-    17th row (≡13) a REAL JPEG — baseline SOF0 for odd doc_ids,
-    PROGRESSIVE SOF2 for even (all encoded by the pure-numpy codecs) —
-    so the encoded-bitmap decode paths run inside the standard pipeline,
-    not just in unit tests."""
+    error path, every 17th row (≡7) a REAL grayscale TIFF (LZW+predictor
+    for even doc_ids, PackBits for odd, alternating byte order), every
+    17th row (≡11) a REAL grayscale PNG and every 17th row (≡13) a REAL
+    JPEG — baseline SOF0 for odd doc_ids, PROGRESSIVE SOF2 for even (all
+    encoded by the pure-numpy codecs) — so the encoded-bitmap decode
+    paths run inside the standard pipeline, not just in unit tests."""
     from ..functions.jpeg import encode_jpeg, encode_progressive_jpeg
     from ..functions.png import encode_png
+    from ..functions.tiff import encode_tiff as _tiff_encode
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
@@ -152,6 +162,15 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
             h = 8 + (d % 3) * 4
             if d % 17 == 5:
                 payloads.append(b"NOTANIMAGE" + bytes(8))
+            elif d % 17 == 7:
+                # REAL grayscale TIFF — LZW + horizontal predictor for
+                # even doc_ids, PackBits for odd, alternating byte order
+                rng = np.random.RandomState(d & 0x7FFFFFFF)
+                img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+                payloads.append(_tiff_encode(
+                    img, compression=5 if d % 2 == 0 else 32773,
+                    predictor=2 if d % 2 == 0 else 1,
+                    big_endian=(d % 4 == 1)))
             elif d % 17 == 11:
                 rng = np.random.RandomState(d & 0x7FFFFFFF)
                 payloads.append(encode_png(
@@ -209,6 +228,10 @@ def resize_fake_image(payload: bytes, out_w: int, out_h: int) -> bytes:
         return _png.encode_png(out[:, :, 0] if c == 1 else out)
     if _jpeg.is_jpeg(payload):
         return _jpeg.encode_jpeg(out[:, :, 0] if c == 1 else out)
+    from ..functions import tiff as _tiff
+    if _tiff.is_tiff(payload):
+        return _tiff.encode_tiff(out[:, :, 0] if c == 1 else out,
+                                 compression=5)
     return _HEADER.pack(MAGIC, out_w, out_h, c,
                         (mode + "\x00" * 4)[:4].encode()) + out.tobytes()
 
