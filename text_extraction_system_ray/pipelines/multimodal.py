@@ -417,23 +417,36 @@ def encode_fake_audio(sample_rate: int, n_samples: int,
 
 
 class AudioMeta:
-    """Audio decode/metadata stage (real math on the fake PCM buffer;
-    a deployment swaps in soundfile/ffmpeg): duration + RMS level."""
+    """Audio decode/metadata stage: duration + RMS level. Real
+    RIFF/WAVE PCM payloads decode through :mod:`..functions.wav`
+    (8/16/24/32-bit PCM + float, chunk walking); the FAKEAUD1 fixture
+    format stands in for compressed codecs (a deployment swaps in
+    soundfile/ffmpeg for those)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.wav import decode_wav, is_wav
         ids, status, rates, nss, durs, rms = [], [], [], [], [], []
         for doc_id, payload in zip(t.column("doc_id").to_pylist(),
                                    t.column("audio").to_pylist()):
             ids.append(doc_id)
             try:
-                if payload is None or len(payload) < _AHEADER.size:
+                if payload is None or len(payload) < 12:
                     raise ValueError("short payload")
-                magic, rate, n = _AHEADER.unpack_from(payload, 0)
-                if magic != AUDIO_MAGIC:
-                    raise NotImplementedError("real audio decode stubbed")
-                pcm = np.frombuffer(payload[_AHEADER.size:], np.int16)
-                if len(pcm) != n:
-                    raise ValueError("length mismatch")
+                if is_wav(payload):
+                    frames, rate = decode_wav(payload)
+                    n = frames.shape[0]
+                    pcm = frames.reshape(-1)
+                else:
+                    if len(payload) < _AHEADER.size:
+                        raise ValueError("short payload")
+                    magic, rate, n = _AHEADER.unpack_from(payload, 0)
+                    if magic != AUDIO_MAGIC:
+                        raise NotImplementedError(
+                            "compressed audio codecs stubbed (WAV PCM "
+                            "and FAKEAUD1 decode)")
+                    pcm = np.frombuffer(payload[_AHEADER.size:], np.int16)
+                    if len(pcm) != n:
+                        raise ValueError("length mismatch")
                 status.append("ok")
                 rates.append(rate)
                 nss.append(n)
@@ -456,21 +469,33 @@ class AudioMeta:
 
 def audio_metadata_summary(sf_dir: str):
     """Synth audio (rate 8000 or 16000 by doc_id parity, n_samples =
-    4000 + (doc_id % 7) * 1000) → decode actor pool → SQL-checkable
-    (doc_id, status, sample_rate, n_samples, duration_s)."""
+    4000 + (doc_id % 7) * 1000; every 23rd row (≡3) is a REAL RIFF/WAVE
+    PCM payload, ≡7 is junk) → decode actor pool → SQL-checkable
+    (doc_id, status, sample_rate, n_samples, duration_s) — the summary
+    is codec-independent, so the oracle covers the WAV rows too."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
     def make(t: pa.Table) -> pa.Table:
+        from ..functions.wav import encode_wav
         ids = t.column("doc_id").to_pylist()
         payloads = []
         for d in ids:
+            rate = 8000 if d % 2 == 0 else 16000
+            n = 4000 + (d % 7) * 1000
             if d % 23 == 7:
                 payloads.append(b"NOTAUDIO")
+            elif d % 23 == 3:
+                # REAL RIFF/WAVE PCM rows (16-bit for d%4<2, 8-bit
+                # otherwise) so the encoded-audio decode path runs
+                # inside the standard pipeline, not just unit tests
+                rng = np.random.RandomState(d & 0x7FFFFFFF)
+                pcm = rng.randint(-32768, 32767, size=n,
+                                  dtype=np.int64).astype(np.int16)
+                payloads.append(encode_wav(
+                    pcm, rate, bits=16 if d % 4 < 2 else 8))
             else:
-                rate = 8000 if d % 2 == 0 else 16000
-                payloads.append(encode_fake_audio(
-                    rate, 4000 + (d % 7) * 1000, seed=d))
+                payloads.append(encode_fake_audio(rate, n, seed=d))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "audio": pa.array(payloads, pa.binary())})
 
