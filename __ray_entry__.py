@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
         "quality_score": _ts.quality_score,
+        "repetition_signals": _ts.repetition_signals,
         "lang_id": _ts.lang_id,
         "fingerprint": _ts.fingerprint,
         # retrieval / corpus shaping (both SQL-checked)
@@ -442,6 +443,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        # Gopher-style repetition filters (Rae et al. 2021 §A1.1):
+        # duplicate-word fraction, top-word fraction, top-bigram
+        # fraction, recomputed from scratch over the same split
+        "repetition_signals": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ), w AS (
+                SELECT doc_id, unnest(t) AS w FROM toks
+            ), wc AS (
+                SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2
+            ), wagg AS (
+                SELECT doc_id, SUM(c) AS n_words,
+                       COUNT(*) AS n_distinct, MAX(c) AS max_w
+                FROM wc GROUP BY 1
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1])) AS b
+                FROM toks WHERE len(t) >= 2
+            ), bgc AS (
+                SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+            ), bgagg AS (
+                SELECT doc_id, MAX(c) AS max_bg FROM bgc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words,
+                   CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+                        ELSE ROUND((w.n_words - w.n_distinct) * 1.0
+                                   / w.n_words, 4)
+                   END AS dup_word_frac,
+                   CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+                        ELSE ROUND(w.max_w * 1.0 / w.n_words, 4)
+                   END AS top_word_frac,
+                   CASE WHEN COALESCE(w.n_words, 0) < 2 THEN 0.0
+                        ELSE ROUND(COALESCE(b.max_bg, 0) * 1.0
+                                   / (w.n_words - 1), 4)
+                   END AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN wagg w ON d.doc_id = w.doc_id
+            LEFT JOIN bgagg b ON d.doc_id = b.doc_id
         """,
         # independent SQL recomputation of the md5 winnowing fingerprint:
         # word-8-gram md5-low64 hashes → 4 smallest → md5 of their

@@ -338,3 +338,32 @@ def test_stratified_sample_rates(ray_session):
     # en downsampled to 5% of 218 -> single digits; tail langs ~20%
     assert counts.get("en", 0) < 25
     assert counts.get("de", 0) >= 5
+
+
+def test_repetition_signals_edge_cases(ray_session, tmp_path):
+    """Gopher repetition fractions on hand-computable docs, including
+    empty text, one-word docs and a trailing empty doc in the batch."""
+    import pyarrow.parquet as pq
+    from text_extraction_system_ray.pipelines.textstats import (
+        repetition_signals)
+    d = tmp_path / "rep"
+    d.mkdir()
+    texts = [
+        "a a a a",                 # 4 words, 1 distinct: dup .75, top 1.0,
+                                   # bigram 'a a' x3 / 3 -> 1.0
+        "x y x y z",               # 5 words, 3 distinct: dup .4, top .4,
+                                   # bigrams xy,yx,xy,yz -> 2/4 = .5
+        "",                        # empty -> all zeros
+        "solo",                    # 1 word: dup 0, top 1.0, bigram 0
+        "  spaced   out  ",        # whitespace runs: 2 words all distinct
+        "",                        # trailing empty (reduceat regression)
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = repetition_signals(str(d)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_words"].tolist() == [4, 5, 0, 1, 2, 0]
+    assert out["dup_word_frac"].tolist() == [0.75, 0.4, 0.0, 0.0, 0.0, 0.0]
+    assert out["top_word_frac"].tolist() == [1.0, 0.4, 0.0, 1.0, 0.5, 0.0]
+    assert out["top_bigram_frac"].tolist() == [1.0, 0.5, 0.0, 0.0, 1.0, 0.0]

@@ -138,6 +138,98 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_signals(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public
+    paper) over the ``documents`` table, per doc:
+
+    - ``dup_word_frac``   = (n_words − n_distinct_words) / n_words
+    - ``top_word_frac``   = count of the most frequent word / n_words
+    - ``top_bigram_frac`` = count of the most frequent word bigram /
+      (n_words − 1)
+
+    Fully vectorized per batch: one tokenize pass builds the flat token
+    array, then `pd.factorize` + composed integer keys + one hash
+    groupby compute every per-(doc, word) and per-(doc, bigram) count —
+    no per-document Python. Mirrors the SQL oracle exactly (same split,
+    same rounding)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from .util import round_half_up
+        texts = t.column("text").to_pylist()
+        flat, ptr = _batch_tokens(texts)
+        n_docs = len(ptr) - 1
+        n_words = (ptr[1:] - ptr[:-1]).astype(np.int64)
+
+        def _per_doc_stats(doc_idx, codes, vocab_size):
+            """(distinct count, max count) per doc over (doc, code)
+            pairs — one np.unique + one segment-max, no Python loops."""
+            key = doc_idx * np.int64(vocab_size) + codes
+            ukey, counts = np.unique(key, return_counts=True)
+            udoc = (ukey // np.int64(vocab_size)).astype(np.int64)
+            n_distinct = np.bincount(udoc, minlength=n_docs)
+            # segment max via sort-order trick: ukey is sorted, so udoc
+            # is non-decreasing; per-doc max = maximum.reduceat guarded
+            # for empty segments with cummax differencing instead
+            max_c = np.zeros(n_docs, np.int64)
+            if len(counts):
+                starts = np.searchsorted(udoc, np.arange(n_docs))
+                ends = np.searchsorted(udoc, np.arange(n_docs), "right")
+                nonempty = ends > starts
+                if nonempty.any():
+                    red = np.maximum.reduceat(
+                        counts, np.minimum(starts[nonempty],
+                                           len(counts) - 1))
+                    max_c[nonempty] = red
+            return n_distinct, max_c
+
+        if len(flat):
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64),
+                                n_words)
+            codes, uniques = pd.factorize(flat)
+            codes = codes.astype(np.int64)
+            vsize = max(len(uniques), 1)
+            n_distinct, max_w = _per_doc_stats(doc_idx, codes, vsize)
+            # word bigrams: positions i, i+1 within the same doc
+            same_doc = doc_idx[:-1] == doc_idx[1:] if len(flat) > 1 \
+                else np.zeros(0, bool)
+            if same_doc.any():
+                b1 = codes[:-1][same_doc]
+                b2 = codes[1:][same_doc]
+                bg_raw = b1 * np.int64(vsize) + b2
+                bcodes, buniq = pd.factorize(bg_raw)
+                n_dist_bg, max_bg = _per_doc_stats(
+                    doc_idx[:-1][same_doc], bcodes.astype(np.int64),
+                    max(len(buniq), 1))
+            else:
+                max_bg = np.zeros(n_docs, np.int64)
+        else:
+            n_distinct = np.zeros(n_docs, np.int64)
+            max_w = np.zeros(n_docs, np.int64)
+            max_bg = np.zeros(n_docs, np.int64)
+
+        n_bg = np.maximum(n_words - 1, 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup = np.where(n_words > 0,
+                           (n_words - n_distinct) /
+                           np.maximum(n_words, 1), 0.0)
+            topw = np.where(n_words > 0,
+                            max_w / np.maximum(n_words, 1), 0.0)
+            topb = np.where(n_bg > 0, max_bg / np.maximum(n_bg, 1), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "dup_word_frac": pa.array(round_half_up(dup, 4),
+                                      pa.float64()),
+            "top_word_frac": pa.array(round_half_up(topw, 4),
+                                      pa.float64()),
+            "top_bigram_frac": pa.array(round_half_up(topb, 4),
+                                        pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class LangId:
     """Stateful language-ID stage (actor pool): profiles compiled once per
     actor in __init__ (M24 analog)."""
