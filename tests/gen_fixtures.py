@@ -234,7 +234,15 @@ def _rows_images(n: int) -> List[dict]:
         img = np.full((48, 64), 255, np.uint8)
         for y0 in range(6, 42, 8):
             img[y0:y0 + 3, 4:60] = 0
-        if i % 3 == 0:
+        if i % 5 == 3:
+            from text_extraction_system_ray.functions.tiff import \
+                encode_tiff
+            payload = encode_tiff(img, compression=5, predictor=2)
+        elif i % 5 == 4:
+            from text_extraction_system_ray.functions.webp import \
+                encode_webp_lossless
+            payload = encode_webp_lossless(img)
+        elif i % 3 == 0:
             payload = encode_png(img)
         elif i % 3 == 1:
             payload = encode_jpeg(img)
@@ -267,7 +275,7 @@ def generate_corpus(scale: str = "tiny") -> pa.Table:
     rows += _rows_giant(rng, 2)
     rows += _rows_pdfish(rng, 8 * mult)
     rows += _rows_poison(4)
-    rows += _rows_images(3)
+    rows += _rows_images(5)
     rows += _rows_dup(rng, 2)
     for i, r in enumerate(rows):
         r["warc_ts"] = _EPOCH + dt.timedelta(seconds=i)

@@ -35,6 +35,9 @@ def image_dims(payload: bytes):
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         from .functions.tiff import tiff_dims
         return tiff_dims(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .functions.webp import webp_dims
+        return webp_dims(payload)
     from .functions.gif import gif_dims
     return gif_dims(payload)
 
@@ -65,7 +68,8 @@ def sniff_kind(payload: Optional[bytes]) -> str:
         return "pdf"
     if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8" \
             or payload[:6] in (b"GIF87a", b"GIF89a") \
-            or payload[:4] in (b"II*\x00", b"MM\x00*"):
+            or payload[:4] in (b"II*\x00", b"MM\x00*") \
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"):
         return "image"
     head = payload[:4096]
     # C-speed control-byte count: delete everything non-control, measure

@@ -81,6 +81,9 @@ def decode_l_image(payload: bytes) -> np.ndarray:
     from ..functions.tiff import is_tiff, tiff_gray
     if is_tiff(payload):
         return tiff_gray(payload)
+    from ..functions.webp import is_webp, webp_gray
+    if is_webp(payload):
+        return webp_gray(payload)
     from ..pipelines.multimodal import _decode_image
     arr, _mode = _decode_image(payload)
     if arr.shape[2] == 1:

@@ -72,6 +72,10 @@ def _decode_image(payload: bytes):
         if arr.ndim == 2:
             return arr[:, :, None], "L"
         return arr, "RGB"
+    from ..functions import webp as _webp
+    if _webp.is_webp(payload):
+        arr = _webp.decode_webp(payload)
+        return arr, ("RGBA" if arr.shape[2] == 4 else "RGB")
     if len(payload) < _HEADER.size:
         raise ValueError("payload too short")
     magic, w, h, c, mode = _HEADER.unpack_from(payload, 0)
@@ -144,6 +148,7 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
     seeds size + pixels); every 17th row (≡5) is corrupt to exercise the
     error path, every 17th row (≡7) a REAL grayscale TIFF (LZW+predictor
     for even doc_ids, PackBits for odd, alternating byte order), every
+    17th row (≡9) a REAL lossless WebP (VP8L, opaque RGB), every
     17th row (≡11) a REAL grayscale PNG and every 17th row (≡13) a REAL
     JPEG — baseline SOF0 for odd doc_ids, PROGRESSIVE SOF2 for even (all
     encoded by the pure-numpy codecs) — so the encoded-bitmap decode
@@ -162,6 +167,13 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
             h = 8 + (d % 3) * 4
             if d % 17 == 5:
                 payloads.append(b"NOTANIMAGE" + bytes(8))
+            elif d % 17 == 9:
+                # REAL lossless WebP (VP8L) — opaque RGB, so it lands in
+                # the summary oracle's default (RGB/3-channel) branch
+                rng = np.random.RandomState(d & 0x7FFFFFFF)
+                img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                from ..functions.webp import encode_webp_lossless
+                payloads.append(encode_webp_lossless(img))
             elif d % 17 == 7:
                 # REAL grayscale TIFF — LZW + horizontal predictor for
                 # even doc_ids, PackBits for odd, alternating byte order
@@ -232,6 +244,9 @@ def resize_fake_image(payload: bytes, out_w: int, out_h: int) -> bytes:
     if _tiff.is_tiff(payload):
         return _tiff.encode_tiff(out[:, :, 0] if c == 1 else out,
                                  compression=5)
+    from ..functions import webp as _webp
+    if _webp.is_webp(payload):
+        return _webp.encode_webp_lossless(out[:, :, 0] if c == 1 else out)
     return _HEADER.pack(MAGIC, out_w, out_h, c,
                         (mode + "\x00" * 4)[:4].encode()) + out.tobytes()
 
