@@ -20,6 +20,7 @@ import ray.data
 
 from text_extraction_system_ray.pipelines import ann as _ann
 from text_extraction_system_ray.pipelines import curate as _curate
+from text_extraction_system_ray.pipelines import decontam as _dec
 from text_extraction_system_ray.pipelines import fontcheck as _fontcheck
 from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import multimodal as _mm
@@ -134,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _ts.repetition_signals,
         "lang_id": _ts.lang_id,
         "fingerprint": _ts.fingerprint,
+        # benchmark decontamination (broadcast eval-gram semi-join),
+        # SQL-checked: the oracle joins on gram strings, the engine on
+        # their md5-low64 hashes
+        "decontaminate": _dec.decontaminate,
         # retrieval / corpus shaping (both SQL-checked)
         "bm25_topk": _ret.bm25_topk,
         "stratified_sample": _ret.stratified_sample,
@@ -489,6 +494,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN wagg w ON d.doc_id = w.doc_id
             LEFT JOIN bgagg b ON d.doc_id = b.doc_id
+        """,
+        # benchmark decontamination: training docs (doc_id % 41 <> 7)
+        # sharing any word-8-gram with the eval slice (doc_id % 41 = 7);
+        # the oracle joins on gram strings, the engine on md5-low64
+        # hashes of the same strings — identical absent md5 collisions
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+') END AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 6),
+                              i -> array_to_string(
+                                  list_slice(t, i, i + 7), ' '))) AS g
+                FROM toks WHERE len(t) >= 8
+            ), eval_g AS (
+                SELECT DISTINCT g FROM g WHERE doc_id % 41 = 7
+            ), shared AS (
+                SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared
+                FROM g t JOIN eval_g e USING (g)
+                WHERE t.doc_id % 41 <> 7 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_shared, 0) AS n_shared,
+                   CAST(COALESCE(s.n_shared, 0) > 0 AS BIGINT)
+                       AS contaminated
+            FROM documents d LEFT JOIN shared s USING (doc_id)
+            WHERE d.doc_id % 41 <> 7
         """,
         # independent SQL recomputation of the md5 winnowing fingerprint:
         # word-8-gram md5-low64 hashes → 4 smallest → md5 of their
