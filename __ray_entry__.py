@@ -21,6 +21,7 @@ import ray.data
 from text_extraction_system_ray.pipelines import ann as _ann
 from text_extraction_system_ray.pipelines import curate as _curate
 from text_extraction_system_ray.pipelines import decontam as _dec
+from text_extraction_system_ray.pipelines import pii as _pii
 from text_extraction_system_ray.pipelines import fontcheck as _fontcheck
 from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import multimodal as _mm
@@ -139,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked: the oracle joins on gram strings, the engine on
         # their md5-low64 hashes
         "decontaminate": _dec.decontaminate,
+        # PII scrub (planted emails/IPs/phones; counts + redacted-text
+        # digest SQL-checked — engine ``re`` and oracle RE2 run the
+        # same RE2-compatible patterns)
+        "pii_redact": _pii.pii_redact,
         # retrieval / corpus shaping (both SQL-checked)
         "bm25_topk": _ret.bm25_topk,
         "stratified_sample": _ret.stratified_sample,
@@ -526,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN shared s USING (doc_id)
             WHERE d.doc_id % 41 <> 7
         """,
+        "pii_redact": _pii.PII_REDACT_SQL,
         # independent SQL recomputation of the md5 winnowing fingerprint:
         # word-8-gram md5-low64 hashes → 4 smallest → md5 of their
         # comma-joined decimal values (first 16 hex chars)
