@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_summary": _mm.image_resize_summary,
         "image_features": _mm.image_features,
         "video_frame_sample": _mm.video_frame_sample,
+        # real AVI/MJPEG container metadata (RIFF parse on the planted
+        # doc_id%11==5 rows; every field is doc_id arithmetic)
+        "video_metadata": _mm.video_metadata,
         "audio_metadata_summary": _mm.audio_metadata_summary,
         # real-font PDF decode round-trip (Widths/ToUnicode/filters;
         # oracle = the SOURCE text, so the decode path is SQL-checked)
@@ -649,6 +652,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 4, 2)) AS INT)
                        AS frame_no,
                    8 AS width, 8 AS height
+            FROM documents
+        """,
+        # AVI rows (doc_id%11==5) carry real RIFF metadata written and
+        # re-parsed by the in-repo muxer/demuxer; fakevid rows read the
+        # fixture header — all fields are doc_id arithmetic either way
+        "video_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 5 THEN 'avi'
+                        ELSE 'fakevid' END AS container,
+                   CASE WHEN doc_id % 11 = 5 THEN 'MJPG'
+                        ELSE 'raw' END AS codec,
+                   2 + doc_id % 4 AS n_frames,
+                   8 AS width, 8 AS height,
+                   CASE WHEN doc_id % 11 = 5
+                        THEN CAST(10 + doc_id % 20 AS DOUBLE)
+                        ELSE 0.0 END AS fps
             FROM documents
         """,
         "audio_metadata_summary": """

@@ -79,7 +79,7 @@ def test_all_queries_run(entrymod):
     # r4 additions: the flagship extraction's CASE-expressible summary
     # and the planted-script language-ID gate
     "extract_pages_summary", "lang_id_planted", "repetition_signals",
-    "decontaminate", "pii_redact",
+    "decontaminate", "pii_redact", "video_metadata",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

@@ -357,12 +357,23 @@ class SampleFrames:
         self.stride = stride
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions import avi as _avi
         ids, frame_nos, imgs = [], [], []
         for doc_id, payload in zip(t.column("doc_id").to_pylist(),
                                    t.column("video").to_pylist()):
             try:
                 if payload is None or len(payload) < _VHEADER.size:
                     raise ValueError("short payload")
+                if _avi.is_avi(payload):
+                    # real container demux: MJPEG frame payloads come
+                    # out as individual JPEGs (decoded downstream by
+                    # the in-repo T.81 codec)
+                    frames, _meta = _avi.demux_avi_frames(payload)
+                    for i in range(0, len(frames), self.stride):
+                        ids.append(doc_id)
+                        frame_nos.append(i)
+                        imgs.append(frames[i])
+                    continue
                 magic, n = _VHEADER.unpack_from(payload, 0)
                 if magic != VIDEO_MAGIC:
                     raise NotImplementedError("real video demux stubbed")
@@ -382,19 +393,88 @@ class SampleFrames:
                          "image": pa.array(imgs, pa.binary())})
 
 
+def encode_avi_video(n_frames: int, width: int, height: int,
+                     seed: int = 0, fps: int = 25) -> bytes:
+    """Real MJPEG-in-AVI payload: deterministic frames JPEG-encoded by
+    the in-repo encoder, muxed by the in-repo RIFF writer."""
+    from ..functions.avi import build_avi_mjpeg
+    from ..functions.jpeg import encode_jpeg
+    frames = []
+    for i in range(n_frames):
+        rng = np.random.RandomState((seed * 1000 + i) & 0x7FFFFFFF)
+        frames.append(encode_jpeg(rng.randint(
+            0, 256, (height, width, 3), dtype=np.uint8)))
+    return build_avi_mjpeg(frames, width, height, fps=fps)
+
+
 def synth_videos_from_documents(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic video column: n_frames = 2 + doc_id % 4, 8×8."""
+    """Deterministic video column: n_frames = 2 + doc_id % 4, 8×8.
+    Every ``doc_id % 11 == 5`` row is a REAL MJPEG AVI (RIFF container
+    + T.81 JPEG frames, fps = 10 + doc_id % 20); the rest stay in the
+    FAKEVID fixture format — so the frame-sample stage exercises the
+    real demux+decode path on a deterministic subset."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
     def make(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
+        payloads = [
+            encode_avi_video(2 + d % 4, 8, 8, seed=d, fps=10 + d % 20)
+            if d % 11 == 5 else
+            encode_fake_video(2 + d % 4, 8, 8, seed=d)
+            for d in ids]
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
-            "video": pa.array([encode_fake_video(2 + d % 4, 8, 8, seed=d)
-                               for d in ids], pa.binary())})
+            "video": pa.array(payloads, pa.binary())})
 
     return ds.map_batches(make, batch_format="pyarrow")
+
+
+class VideoMetadata:
+    """Container-metadata probe (no frame decode): real RIFF parse for
+    AVI rows, FAKEVID header read otherwise."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions import avi as _avi
+        ids = t.column("doc_id").to_pylist()
+        rows = {"doc_id": [], "container": [], "codec": [],
+                "n_frames": [], "width": [], "height": [], "fps": []}
+        for doc_id, payload in zip(ids, t.column("video").to_pylist()):
+            try:
+                if _avi.is_avi(payload):
+                    m = _avi.parse_avi(payload)
+                    vals = ("avi", m["codec"], m["n_frames"],
+                            m["width"], m["height"], float(m["fps"]))
+                elif payload[:8] == VIDEO_MAGIC:
+                    _, n = _VHEADER.unpack_from(payload, 0)
+                    _, w, h, _c, _m = _HEADER.unpack_from(
+                        payload, _VHEADER.size)
+                    vals = ("fakevid", "raw", n, w, h, 0.0)
+                else:
+                    raise ValueError("unknown container")
+            except Exception:   # noqa: BLE001
+                vals = ("error", "", 0, 0, 0, 0.0)
+            rows["doc_id"].append(doc_id)
+            for k, v in zip(("container", "codec", "n_frames", "width",
+                             "height", "fps"), vals):
+                rows[k].append(v)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "container": pa.array(rows["container"], pa.string()),
+            "codec": pa.array(rows["codec"], pa.string()),
+            "n_frames": pa.array(rows["n_frames"], pa.int64()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+            "fps": pa.array(rows["fps"], pa.float64())})
+
+
+def video_metadata(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc video container metadata — SQL-checkable: every field is
+    doc_id arithmetic (the AVI rows' metadata round-trips through the
+    real RIFF writer+parser, pinning both by value)."""
+    return synth_videos_from_documents(sf_dir).map_batches(
+        VideoMetadata, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4))
 
 
 def video_frame_sample(sf_dir: str, stride: int = 2):
