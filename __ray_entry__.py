@@ -27,6 +27,7 @@ from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
 from text_extraction_system_ray.pipelines import retrieval as _ret
+from text_extraction_system_ray.pipelines import substr as _substr
 from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines.extraction import extract_dataset
 from text_extraction_system_ray.sources.pages import synth_pages
@@ -129,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recomputes signatures AND the full Hamming<=3 pair set
         "dedup_simhash": _dedup.simhash_neardups,
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,
+        # exact-substring (window) dedup signal, Lee et al. 2022 style:
+        # first-occurrence-wins over word-5-gram windows; SQL-checked
+        # (oracle recomputes via ROW_NUMBER over gram text)
+        "substring_dup_stats": _substr.substring_dup_stats,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -377,6 +382,44 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL.format(
             select="doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard",
             threshold=0.5),
+        # exact-substring window dedup: the oracle ranks every word-5-gram
+        # window by (doc_id, pos) over the gram TEXT — independent of the
+        # engine's md5-low64 grouping — and counts rank>1 windows per doc
+        "substring_dup_stats": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                            WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w) - 3),
+                                   i -> array_to_string(
+                                       list_slice(w, i, i + 4), ' '))
+                       END AS grams
+                FROM tok
+            ), w2 AS (
+                SELECT doc_id, unnest(grams) AS gram,
+                       unnest(range(1, len(grams) + 1)) AS pos
+                FROM g
+            ), r AS (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                           PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                FROM w2
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_windows,
+                       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup
+                FROM r GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_windows, 0) AS n_windows,
+                   COALESCE(n_dup, 0) AS n_dup_windows,
+                   CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0.0
+                        ELSE n_dup * 1.0 / n_windows END AS dup_fraction
+            FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule
         # 2*votes > n_tokens) and the full Hamming<=3 pair set — checks
