@@ -27,6 +27,7 @@ from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
 from text_extraction_system_ray.pipelines import retrieval as _ret
+from text_extraction_system_ray.pipelines import packing as _pack
 from text_extraction_system_ray.pipelines import substr as _substr
 from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines.extraction import extract_dataset
@@ -134,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-occurrence-wins over word-5-gram windows; SQL-checked
         # (oracle recomputes via ROW_NUMBER over gram text)
         "substring_dup_stats": _substr.substring_dup_stats,
+        # GPT-style sequence packing: distributed prefix scan (bucketed
+        # two-level cumsum) → per-doc global offset + sequence extent;
+        # SQL-checked against a window-function recomputation
+        "sequence_packing": _pack.pack_sequences,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -419,6 +424,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0.0
                         ELSE n_dup * 1.0 / n_windows END AS dup_fraction
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # packing layout: the oracle recomputes the global exclusive
+        # prefix sum with a single window function — the engine's
+        # bucketed two-level scan must reproduce it exactly
+        "sequence_packing": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS nt
+                FROM documents
+            ), c AS (
+                SELECT doc_id, nt,
+                       COALESCE(SUM(nt + 1) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS off
+                FROM t
+            )
+            SELECT doc_id, nt AS n_tokens, off AS start_off,
+                   off // 128 AS seq_first, (off + nt) // 128 AS seq_last
+            FROM c
         """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule
