@@ -30,6 +30,7 @@ from text_extraction_system_ray.pipelines import retrieval as _ret
 from text_extraction_system_ray.pipelines import packing as _pack
 from text_extraction_system_ray.pipelines import substr as _substr
 from text_extraction_system_ray.pipelines import textstats as _ts
+from text_extraction_system_ray.pipelines import urlstats as _url
 from text_extraction_system_ray.pipelines.extraction import extract_dataset
 from text_extraction_system_ray.sources.pages import synth_pages
 
@@ -139,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-level cumsum) → per-doc global offset + sequence extent;
         # SQL-checked against a window-function recomputation
         "sequence_packing": _pack.pack_sequences,
+        # URL curation signals: vectorized RFC-3986 parse (Arrow RE2)
+        # over deterministic synth URLs; oracle re-parses with DuckDB's
+        # own regex/string machinery — the parse is value-checked
+        "url_stats": _url.url_stats,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -444,6 +449,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, nt AS n_tokens, off AS start_off,
                    off // 128 AS seq_first, (off + nt) // 128 AS seq_last
             FROM c
+        """,
+        # URL signals: the oracle rebuilds the deterministic URLs and
+        # re-parses them with DuckDB regex/string functions (a different
+        # parse strategy than the engine's RFC grammar regexes)
+        "url_stats": r"""
+            WITH hb AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                       || 'site' || (doc_id % 50) || '.' ||
+                       (CASE doc_id % 5 WHEN 0 THEN 'com'
+                             WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                             WHEN 3 THEN 'io' ELSE 'co.uk' END) AS h
+                FROM documents
+            ), u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 7 = 0 THEN 'http'
+                             ELSE 'https' END) || '://' ||
+                       (CASE WHEN doc_id % 13 = 5 THEN upper(h)
+                             ELSE h END) ||
+                       (CASE WHEN doc_id % 11 = 3 THEN ':8080'
+                             ELSE '' END) ||
+                       (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/p0'
+                             WHEN 2 THEN '/p0/p1'
+                             ELSE '/p0/p1/p2' END) ||
+                       (CASE WHEN doc_id % 6 = 1
+                             THEN '?q=term' || (doc_id % 9) || '&page=2'
+                             ELSE '' END) AS url
+                FROM hb
+            ), p AS (
+                SELECT doc_id, url,
+                       regexp_extract(url, '^([^:/?#]+)://', 1) AS scheme,
+                       lower(regexp_extract(url,
+                           '^[^:/?#]+://([^/?#:]*)', 1)) AS host,
+                       regexp_extract(url,
+                           '^[^:/?#]+://[^/?#:]*:([0-9]+)', 1) AS port_s,
+                       regexp_extract(url,
+                           '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+                       regexp_extract(url, '\?([^#]*)', 1) AS q
+                FROM u
+            ), rd AS (
+                SELECT *, CASE WHEN host LIKE '%.co.uk'
+                        THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+                        ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                        END AS registered_domain
+                FROM p
+            )
+            SELECT doc_id, url, scheme, host,
+                   CASE WHEN port_s = ''
+                        THEN CASE WHEN scheme = 'http' THEN 80
+                                  ELSE 443 END
+                        ELSE CAST(port_s AS BIGINT) END AS port,
+                   registered_domain,
+                   CASE WHEN host LIKE '%.co.uk' THEN 'co.uk'
+                        ELSE regexp_extract(host, '\.([^.]+)$', 1)
+                        END AS tld,
+                   CASE WHEN path = '' THEN 0
+                        ELSE len(string_split(path, '/')) - 1
+                        END AS path_depth,
+                   CASE WHEN q = '' THEN 0
+                        ELSE len(string_split(q, '&')) END
+                       AS n_query_params,
+                   registered_domain IN ('site7.net', 'site13.io',
+                                         'site21.org', 'site3.io')
+                       AS is_blocked
+            FROM rd
         """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule
