@@ -23,6 +23,7 @@ from text_extraction_system_ray.pipelines import curate as _curate
 from text_extraction_system_ray.pipelines import decontam as _dec
 from text_extraction_system_ray.pipelines import pii as _pii
 from text_extraction_system_ray.pipelines import fontcheck as _fontcheck
+from text_extraction_system_ray.pipelines import jsonprops as _json
 from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
@@ -144,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over deterministic synth URLs; oracle re-parses with DuckDB's
         # own regex/string machinery — the parse is value-checked
         "url_stats": _url.url_stats,
+        # JSON sidecar-field extraction + per-type aggregate (real
+        # json.loads in the engine, DuckDB json_extract in the oracle)
+        "json_props_stats": _json.json_props_stats,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -514,6 +518,21 @@ def oracle_sql() -> dict[str, str]:
                                          'site21.org', 'site3.io')
                        AS is_blocked
             FROM rd
+        """,
+        "json_props_stats": r"""
+            WITH x AS (
+                SELECT event_type,
+                       TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_events,
+                   SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_invalid,
+                   COALESCE(SUM(k), 0) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k,
+                   CASE WHEN count(k) > 0
+                        THEN SUM(k) * 1.0 / count(k)
+                        ELSE 0.0 END AS avg_k
+            FROM x GROUP BY event_type
         """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule
