@@ -115,7 +115,11 @@ def run_queries() -> dict:
               "bm25_topk", "stratified_sample", "curate_corpus",
               "embedding_neardups", "realfont_roundtrip",
               "image_metadata", "video_frame_sample",
-              "audio_metadata_summary"]
+              "audio_metadata_summary",
+              # r4 ops
+              "substring_dup_stats", "sequence_packing", "url_stats",
+              "json_props_stats", "repetition_signals", "decontaminate",
+              "pii_redact"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -9,7 +9,7 @@ import pytest
 def _run(tmp_path, docs):
     from text_extraction_system_ray.pipelines.substr import \
         substring_dup_stats
-    d = tmp_path / "sf"
+    d = tmp_path / f"sf{len(list(tmp_path.iterdir()))}"
     d.mkdir()
     pq.write_table(pa.table({
         "doc_id": pa.array(range(len(docs)), pa.int64()),
@@ -34,6 +34,20 @@ def test_first_wins_and_edges(ray_session, tmp_path):
     assert df["n_dup_windows"].tolist() == [0, 2, 0, 0, 1, 4]
     np.testing.assert_allclose(
         df["dup_fraction"], [0, 1, 0, 0, 1, 4 / 6], rtol=1e-12)
+
+
+def test_shuffle_path_matches_driver_path(ray_session, tmp_path,
+                                          monkeypatch):
+    """Force the at-scale partitioned-shuffle branch (DRIVER limit 0)
+    and pin it to the driver path's output."""
+    from text_extraction_system_ray.pipelines import substr
+    docs = ["a b c d e f", "a b c d e f", "short doc", "",
+            "short doc", "x y x y x y x y x y"]
+    base = _run(tmp_path, docs)
+    monkeypatch.setattr(substr, "DRIVER_BYTES_LIMIT", 0)
+    forced = _run(tmp_path, docs)
+    pd.testing.assert_frame_equal(base, forced)
+    assert forced["n_dup_windows"].tolist() == [0, 2, 0, 0, 1, 4]
 
 
 def test_cross_doc_ordering_is_doc_id_not_input_order(ray_session,
