@@ -25,6 +25,7 @@ from text_extraction_system_ray.pipelines import pii as _pii
 from text_extraction_system_ray.pipelines import fontcheck as _fontcheck
 from text_extraction_system_ray.pipelines import jsonprops as _json
 from text_extraction_system_ray.pipelines import dedup as _dedup
+from text_extraction_system_ray.pipelines import mojibake as _moji
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
 from text_extraction_system_ray.pipelines import retrieval as _ret
@@ -148,6 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSON sidecar-field extraction + per-type aggregate (real
         # json.loads in the engine, DuckDB json_extract in the oracle)
         "json_props_stats": _json.json_props_stats,
+        # ftfy-style mojibake repair: real cp1252↔utf-8 codec
+        # round-trip on signature rows; oracle reconstructs both the
+        # corruption and the repair from documents.text
+        "fix_mojibake": _moji.fix_mojibake,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -533,6 +538,26 @@ def oracle_sql() -> dict[str, str]:
                         THEN SUM(k) * 1.0 / count(k)
                         ELSE 0.0 END AS avg_k
             FROM x GROUP BY event_type
+        """,
+        # mojibake: utf8('á')=C3 A1 read as cp1252 is 'Ã¡' (é → 'Ã©');
+        # the oracle builds the corrupted text AND the repaired text
+        # from scratch, so the engine's codec round-trip is value-pinned
+        "fix_mojibake": """
+            SELECT doc_id,
+                   (doc_id % 7 = 2 AND (text LIKE '%a%'
+                                        OR text LIKE '%e%'))
+                       AS was_fixed,
+                   CASE WHEN doc_id % 7 = 2 THEN
+                       len(replace(replace(text, 'a', 'Ã¡'),
+                                   'e', 'Ã©'))
+                       - len(replace(replace(replace(text, 'a', 'Ã¡'),
+                                             'e', 'Ã©'), 'Ã', ''))
+                   ELSE 0 END AS n_suspicious_before,
+                   substr(md5(CASE WHEN doc_id % 7 = 2
+                              THEN replace(replace(text, 'a', 'á'),
+                                           'e', 'é')
+                              ELSE text END), 1, 16) AS fixed_digest
+            FROM documents
         """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule
