@@ -29,6 +29,7 @@ from text_extraction_system_ray.pipelines import mojibake as _moji
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
 from text_extraction_system_ray.pipelines import retrieval as _ret
+from text_extraction_system_ray.pipelines import snapshot as _snap
 from text_extraction_system_ray.pipelines import packing as _pack
 from text_extraction_system_ray.pipelines import substr as _substr
 from text_extraction_system_ray.pipelines import textstats as _ts
@@ -153,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-trip on signature rows; oracle reconstructs both the
         # corruption and the repair from documents.text
         "fix_mojibake": _moji.fix_mojibake,
+        # incremental crawl curation: content-hash anti-join of the new
+        # snapshot against the old (broadcast + partitioned plans)
+        "snapshot_delta": _snap.snapshot_delta,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -558,6 +562,15 @@ def oracle_sql() -> dict[str, str]:
                                            'e', 'é')
                               ELSE text END), 1, 16) AS fixed_digest
             FROM documents
+        """,
+        # snapshot delta: old = doc_id%3 != 2; novelty is content-level
+        # (md5 of text), so moved/duplicated content is not "new"
+        "snapshot_delta": """
+            SELECT d.doc_id, substr(md5(d.text), 1, 16) AS text_hash
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents o
+                WHERE o.doc_id % 3 != 2 AND md5(o.text) = md5(d.text))
         """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule
