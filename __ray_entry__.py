@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental crawl curation: content-hash anti-join of the new
         # snapshot against the old (broadcast + partitioned plans)
         "snapshot_delta": _snap.snapshot_delta,
+        # corpus vocabulary top-k: per-batch combiners → term-partition
+        # vectorized sums → partition candidates → driver merge
+        "vocab_topk": _ts.vocab_topk,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -571,6 +574,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM documents o
                 WHERE o.doc_id % 3 != 2 AND md5(o.text) = md5(d.text))
+        """,
+        "vocab_topk": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ), c AS (SELECT term, count(*) AS cnt FROM tok
+                     GROUP BY term)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+                        AS BIGINT) AS rank,
+                   term, cnt
+            FROM c ORDER BY cnt DESC, term LIMIT 50
         """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule

@@ -81,7 +81,7 @@ def test_all_queries_run(entrymod):
     "extract_pages_summary", "lang_id_planted", "repetition_signals",
     "decontaminate", "pii_redact", "video_metadata",
     "substring_dup_stats", "sequence_packing", "url_stats",
-    "json_props_stats", "fix_mojibake", "snapshot_delta",
+    "json_props_stats", "fix_mojibake", "snapshot_delta", "vocab_topk",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

@@ -382,3 +382,67 @@ def fingerprint(sf_dir: str, k: int = 8, n_keep: int = 4) -> ray.data.Dataset:
                           fn_constructor_kwargs={"k": k, "n_keep": n_keep},
                           batch_format="pyarrow", batch_size=512,
                           concurrency=(1, 8))
+
+
+# ------------------------------------------------------- vocabulary top-k
+
+VOCAB_TOPK = 50
+_VOCAB_PARTS = 32
+
+
+def _vocab_partials(t: pa.Table) -> pa.Table:
+    """Combiner: one (term, cnt, part) row per DISTINCT term per batch —
+    the shuffle moves vocabulary-sized partials, never the token
+    stream.  ``part`` is a deterministic SipHash of the term
+    (``pd.util.hash_array``, fixed key — stable across processes), so
+    every partial of a term lands in the same partition."""
+    texts = t.column("text").to_pylist()
+    flat, _ = _batch_tokens([(x or "").lower() for x in texts])
+    terms, cnt = np.unique(flat.astype(str), return_counts=True)
+    part = (pd.util.hash_array(terms.astype(object))
+            % _VOCAB_PARTS).astype(np.int64)
+    return pa.table({"term": pa.array(terms, pa.string()),
+                     "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                     "part": pa.array(part, pa.int64())})
+
+
+def _vocab_candidates(g: pa.Table, k: int) -> pa.Table:
+    """One term-partition: exact per-term totals, emit only its top-k
+    (count DESC, term ASC) — the global top-k is a subset of the union
+    of per-partition top-ks because a term lives in one partition."""
+    if g.num_rows == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+    cnt = g.column("cnt").to_numpy()
+    ut, inv = np.unique(terms.astype(str), return_inverse=True)
+    tot = np.zeros(len(ut), np.int64)
+    np.add.at(tot, inv, cnt)
+    order = np.lexsort((ut, -tot))[:k]
+    return pa.table({"term": pa.array(ut[order], pa.string()),
+                     "cnt": pa.array(tot[order], pa.int64())})
+
+
+def vocab_topk(sf_dir: str, k: int = VOCAB_TOPK) -> pa.Table:
+    """Corpus-wide top-``k`` terms by frequency (ties → term ASC).
+
+    Classic word-count shape: per-batch distinct-term combiners →
+    term-partitioned vectorized sums (never one Python group per term)
+    → per-partition top-k candidates → tiny driver merge of
+    ``parts × k`` rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    cands = (ds.map_batches(_vocab_partials, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(lambda g: _vocab_candidates(g, k),
+                         batch_format="pyarrow"))
+    allc = pa.concat_tables(
+        [b for b in cands.iter_batches(batch_format="pyarrow")
+         if b.num_rows])
+    terms = np.asarray(allc.column("term").to_pylist(), dtype=object)
+    cnt = allc.column("cnt").to_numpy()
+    order = np.lexsort((terms.astype(str), -cnt))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "term": pa.array(terms[order].astype(str), pa.string()),
+        "cnt": pa.array(cnt[order], pa.int64())})
