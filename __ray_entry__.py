@@ -32,6 +32,7 @@ from text_extraction_system_ray.pipelines import retrieval as _ret
 from text_extraction_system_ray.pipelines import snapshot as _snap
 from text_extraction_system_ray.pipelines import packing as _pack
 from text_extraction_system_ray.pipelines import substr as _substr
+from text_extraction_system_ray.pipelines import textindex as _tix
 from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines import urlstats as _url
 from text_extraction_system_ray.pipelines.extraction import extract_dataset
@@ -160,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus vocabulary top-k: per-batch combiners → term-partition
         # vectorized sums → partition candidates → driver merge
         "vocab_topk": _ts.vocab_topk,
+        # inverted text index: term-partitioned posting lists on disk,
+        # lookups read only the query terms' partitions (IVF-index
+        # analog for retrieval); conjunctive match, tf-summed
+        "text_index_lookup": _tix.text_index_lookup,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -587,6 +592,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank,
                    term, cnt
             FROM c ORDER BY cnt DESC, term LIMIT 50
+        """,
+        "text_index_lookup": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ('scan', 'column') GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY doc_id HAVING count(*) = 2
         """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule
