@@ -24,6 +24,7 @@ from text_extraction_system_ray.pipelines import decontam as _dec
 from text_extraction_system_ray.pipelines import pii as _pii
 from text_extraction_system_ray.pipelines import fontcheck as _fontcheck
 from text_extraction_system_ray.pipelines import jsonprops as _json
+from text_extraction_system_ray.pipelines import lmscore as _lm
 from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import mojibake as _moji
 from text_extraction_system_ray.pipelines import multimodal as _mm
@@ -165,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lookups read only the query terms' partitions (IVF-index
         # analog for retrieval); conjunctive match, tf-summed
         "text_index_lookup": _tix.text_index_lookup,
+        # CCNet-lite LM quality score: corpus-trained char-trigram LM
+        # (bounded vocab → broadcast), per-doc mean log-probability
+        "lm_quality_score": _lm.lm_quality_score,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -605,6 +609,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
             FROM tf GROUP BY doc_id HAVING count(*) = 2
+        """,
+        "lm_quality_score": r"""
+            WITH g AS (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, len(text) - 1),
+                    i -> substr(text, i, 3))) AS g3
+                FROM documents
+            ), c AS (SELECT g3, count(*) AS cnt FROM g GROUP BY g3),
+            tot AS (SELECT SUM(cnt) AS n FROM c),
+            scored AS (
+                SELECT g.doc_id, AVG(ln(c.cnt * 1.0 / tot.n)) AS s,
+                       count(*) AS ng
+                FROM g JOIN c USING (g3) CROSS JOIN tot
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id, COALESCE(ng, 0) AS n_trigrams,
+                   ROUND(COALESCE(s, 0.0), 6) AS lm_score
+            FROM documents d LEFT JOIN scored USING (doc_id)
         """,
         # independent SQL recomputation of the 64-bit simhash (md5-low64
         # token hash, frequency-weighted bit votes, majority rule

@@ -82,7 +82,7 @@ def test_all_queries_run(entrymod):
     "decontaminate", "pii_redact", "video_metadata",
     "substring_dup_stats", "sequence_packing", "url_stats",
     "json_props_stats", "fix_mojibake", "snapshot_delta", "vocab_topk",
-    "text_index_lookup",
+    "text_index_lookup", "lm_quality_score",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))
