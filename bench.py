@@ -119,7 +119,8 @@ def run_queries() -> dict:
               # r4 ops
               "substring_dup_stats", "sequence_packing", "url_stats",
               "json_props_stats", "repetition_signals", "decontaminate",
-              "pii_redact"]
+              "pii_redact", "fix_mojibake", "snapshot_delta",
+              "vocab_topk", "text_index_lookup", "lm_quality_score"]
     out = {}
     for name in picked:
         t0 = time.monotonic()
