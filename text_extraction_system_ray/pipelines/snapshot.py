@@ -22,6 +22,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -123,6 +124,6 @@ def snapshot_delta(sf_dir: str, force_shuffle: bool = False
     joined = new_ds.join(old_distinct, join_type="left_outer",
                          num_partitions=16, on=("h",))
     return joined.map_batches(
-        lambda t: t.filter(pa.compute.is_null(t["old_marker"]))
+        lambda t: t.filter(pc.is_null(t["old_marker"]))
                    .drop_columns(["h", "old_marker"]),
         batch_format="pyarrow")

@@ -23,6 +23,7 @@ from typing import List, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -100,7 +101,7 @@ def query_text_index(index_dir: str,
     term_set = pa.array(sorted(set(terms)))
 
     def filt(t: pa.Table) -> pa.Table:
-        m = pa.compute.is_in(t["term"], value_set=term_set)
+        m = pc.is_in(t["term"], value_set=term_set)
         t = t.filter(m)
         # per-batch partial: (doc, matched-term count, tf sum)
         ids = t.column("doc_id").to_numpy()
