@@ -27,6 +27,9 @@ from text_extraction_system_ray.pipelines import jsonprops as _json
 from text_extraction_system_ray.pipelines import lmscore as _lm
 from text_extraction_system_ray.pipelines import dedup as _dedup
 from text_extraction_system_ray.pipelines import mojibake as _moji
+from text_extraction_system_ray.pipelines import budget as _budget
+from text_extraction_system_ray.pipelines import linefilter as _lf
+from text_extraction_system_ray.pipelines import paradedup as _para
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
 from text_extraction_system_ray.pipelines import retrieval as _ret
@@ -169,6 +172,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-lite LM quality score: corpus-trained char-trigram LM
         # (bounded vocab → broadcast), per-doc mean log-probability
         "lm_quality_score": _lm.lm_quality_score,
+        # C4-style line filtering (terminal-punct / min-words /
+        # javascript / lorem-ipsum rules over planted line structure):
+        # shuffle-free vectorized map; SQL-checked
+        "c4_line_filter": _lf.c4_line_filter,
+        # paragraph-level exact dedup (CCNet/C4 boilerplate removal):
+        # corpus-wide first-occurrence-wins over planted paragraph
+        # structure; one 24-byte-row shuffle, SQL-checked incl. an
+        # order-insensitive checksum pinning WHICH occurrences won
+        "paragraph_dedup": _para.paragraph_dedup,
+        # token-budget corpus selection: highest-quality docs until a
+        # global token budget (two-level quality-keyed prefix scan with
+        # budget-pruned shuffle); SQL-checked vs one window function
+        "token_budget_select": _budget.token_budget_select,
         # text analysis (token/stats/quality/fingerprint SQL-checked)
         "token_count": _ts.token_count,
         "doc_stats": _ts.doc_stats,
@@ -707,6 +723,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        # C4 line filter: the oracle rebuilds the planted line layout
+        # (UNION ALL, one branch per slot) and re-applies the frozen
+        # rules with DuckDB's own regex/string machinery
+        "c4_line_filter": r"""
+            WITH raw AS (
+                SELECT doc_id, coalesce(text, '') || '.' AS l
+                FROM documents
+                UNION ALL SELECT doc_id, 'click here for more'
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL SELECT doc_id,
+                    'please enable javascript to continue.'
+                FROM documents WHERE doc_id % 6 = 3
+                UNION ALL SELECT doc_id, 'ok then.'
+                FROM documents WHERE doc_id % 7 = 1
+                UNION ALL SELECT doc_id,
+                    'this is a valid closing sentence number ' ||
+                    (doc_id % 9) || '.'
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL SELECT doc_id, 'lorem ipsum dolor sit amet.'
+                FROM documents WHERE doc_id % 31 = 5
+            ), flags AS (
+                SELECT doc_id, trim(l) AS l,
+                       CASE WHEN regexp_matches(trim(l), '[.!?"]$')
+                             AND len(list_filter(string_split_regex(
+                                     trim(l), '\s+'), x -> x <> '')) >= 3
+                             AND NOT contains(trim(l), 'javascript')
+                            THEN 1 ELSE 0 END AS keep,
+                       CASE WHEN contains(l, 'lorem ipsum')
+                             OR contains(l, '{')
+                            THEN 1 ELSE 0 END AS kill
+                FROM raw
+            )
+            SELECT doc_id, count(*) AS n_lines,
+                   CAST(sum(keep) AS BIGINT) AS n_kept,
+                   CAST(sum(keep * length(l)) AS BIGINT) AS kept_chars,
+                   CAST(sum(keep * len(list_filter(string_split_regex(
+                        l, '\s+'), x -> x <> ''))) AS BIGINT)
+                       AS kept_tokens
+            FROM flags GROUP BY doc_id HAVING max(kill) = 0
+            ORDER BY doc_id
+        """,
+        # paragraph dedup: the oracle rebuilds the planted paragraph
+        # layout (header/body/footer slots via UNION ALL — same idx
+        # arithmetic as the engine's occ encoding), replays
+        # first-occurrence-wins with ROW_NUMBER over (doc_id, idx),
+        # and recomputes the md5-low64 checksum of the winning rows
+        "paragraph_dedup": """
+            WITH occ AS (
+                SELECT doc_id, 0 AS idx,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'shared footer all rights reserved'
+                            ELSE 'promo block ' || (doc_id % 7)
+                       END AS p
+                FROM documents WHERE doc_id % 3 IN (0, 1)
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0
+                       END AS idx,
+                       coalesce(text, '') AS p
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 IN (0, 1) THEN 2 ELSE 1
+                       END AS idx,
+                       'contact page about ' || (doc_id % 11) AS p
+                FROM documents WHERE doc_id % 4 = 2
+            ), w AS (
+                SELECT doc_id, idx, p,
+                       ROW_NUMBER() OVER (PARTITION BY p
+                           ORDER BY doc_id, idx) AS rn
+                FROM occ
+            )
+            SELECT doc_id, count(*) AS n_paras,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN rn = 1 THEN length(p) ELSE 0 END)
+                        AS BIGINT) AS kept_chars,
+                   CAST(sum(CASE WHEN rn = 1 THEN
+                        CAST(concat('0x', substr(md5(p), 1, 16))
+                             AS UBIGINT) % 1000000007
+                        ELSE 0 END) AS BIGINT) AS kept_checksum
+            FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        # token-budget selection: the oracle recomputes the frozen
+        # quality formula and replays the engine's distributed prefix
+        # scan as one window function over (quality DESC, doc_id)
+        "token_budget_select": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents
+            ), m AS (
+                SELECT doc_id, len(t) AS nt,
+                       ROUND(0.5 * ROUND(LEAST(1.0, len(t) / 50.0), 4)
+                             + 0.5 * CASE WHEN len(t) = 0 THEN 0.0
+                                   ELSE ROUND(len(list_filter(t,
+                                       x -> x IN ({_STOP_SQL}))) * 1.0
+                                       / len(t), 4) END,
+                             4) AS quality
+                FROM toks
+            ), c AS (
+                SELECT doc_id, quality, nt,
+                       SUM(nt) OVER (ORDER BY quality DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+                FROM m
+            )
+            SELECT doc_id, quality, nt AS n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 1000 ORDER BY doc_id
         """,
         # Gopher-style repetition filters (Rae et al. 2021 §A1.1):
         # duplicate-word fraction, top-word fraction, top-bigram

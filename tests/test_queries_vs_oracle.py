@@ -83,6 +83,8 @@ def test_all_queries_run(entrymod):
     "substring_dup_stats", "sequence_packing", "url_stats",
     "json_props_stats", "fix_mojibake", "snapshot_delta", "vocab_topk",
     "text_index_lookup", "lm_quality_score",
+    # r4 late additions: training-data curation trio
+    "paragraph_dedup", "token_budget_select", "c4_line_filter",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))
