@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_metadata_summary": _mm.image_metadata_summary,
         "image_resize_summary": _mm.image_resize_summary,
         "image_features": _mm.image_features,
+        # SQL-checked projection of the feature pipeline: histogram
+        # invariants on every row + exact mean/argmax on the planted
+        # constant-PNG rows (real PNG decode → feature kernel)
+        "image_features_summary": _mm.image_features_summary,
         "video_frame_sample": _mm.video_frame_sample,
         # real AVI/MJPEG container metadata (RIFF parse on the planted
         # doc_id%11==5 rows; every field is doc_id arithmetic)
@@ -1014,11 +1018,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 17 = 5 THEN 0
                         ELSE 8 + (doc_id % 3) * 4 END AS height,
                    CASE WHEN doc_id % 17 = 5 THEN 0
-                        WHEN doc_id % 17 IN (7, 11, 13) THEN 1
+                        WHEN doc_id % 17 IN (7, 11, 13, 15) THEN 1
                         ELSE 3 END AS channels,
                    CASE WHEN doc_id % 17 = 5 THEN ''
-                        WHEN doc_id % 17 IN (7, 11, 13) THEN 'L'
+                        WHEN doc_id % 17 IN (7, 11, 13, 15) THEN 'L'
                         ELSE 'RGB' END AS mode
+            FROM documents
+        """,
+        # feature-pipeline projection: invariants (8 histogram bins
+        # summing to 1) on every decodable row; on the planted
+        # constant-value PNGs (doc_id%17==15, pixel = doc_id%256) the
+        # channel mean and one-hot argmax bin are exact arithmetic
+        "image_features_summary": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 5 THEN 'error'
+                        ELSE 'ok' END AS status,
+                   CASE WHEN doc_id % 17 = 5 THEN 0
+                        WHEN doc_id % 17 IN (7, 11, 13, 15) THEN 1
+                        ELSE 3 END AS n_channels,
+                   CASE WHEN doc_id % 17 = 5 THEN 0
+                        ELSE 8 END AS emb_len,
+                   CASE WHEN doc_id % 17 = 5 THEN 0.0
+                        ELSE 1.0 END AS emb_sum,
+                   CASE WHEN doc_id % 17 = 15
+                        THEN CAST(doc_id % 256 AS DOUBLE) END AS mean0,
+                   CASE WHEN doc_id % 17 = 15
+                        THEN (doc_id % 256) // 32
+                        ELSE -1 END AS top_bin
             FROM documents
         """,
         "image_resize_summary": """

@@ -19,6 +19,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 MAGIC = b"FAKEIMG1"
@@ -152,7 +153,9 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
     17th row (≡11) a REAL grayscale PNG and every 17th row (≡13) a REAL
     JPEG — baseline SOF0 for odd doc_ids, PROGRESSIVE SOF2 for even (all
     encoded by the pure-numpy codecs) — so the encoded-bitmap decode
-    paths run inside the standard pipeline, not just in unit tests."""
+    paths run inside the standard pipeline, not just in unit tests;
+    every 17th row (≡15) a CONSTANT-value grayscale PNG whose feature
+    outputs are doc_id arithmetic (the image_features_summary oracle)."""
     from ..functions.jpeg import encode_jpeg, encode_progressive_jpeg
     from ..functions.png import encode_png
     from ..functions.tiff import encode_tiff as _tiff_encode
@@ -194,6 +197,14 @@ def synth_images_from_documents(sf_dir: str) -> ray.data.Dataset:
                 # and mode, so the summary oracle CASE is unchanged
                 payloads.append(encode_progressive_jpeg(img)
                                 if d % 2 == 0 else encode_jpeg(img))
+            elif d % 17 == 15:
+                # constant-value grayscale PNG: every pixel = d % 256,
+                # so the FEATURE kernel's outputs (channel mean, one-hot
+                # histogram) are pure doc_id arithmetic — the rows that
+                # make image_features_summary SQL-checkable end-to-end
+                # through a REAL PNG decode
+                img = np.full((h, w), d % 256, np.uint8)
+                payloads.append(encode_png(img))
             else:
                 payloads.append(encode_fake_image(w, h, 3, seed=d))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
@@ -333,6 +344,51 @@ def image_features(sf_dir: str) -> ray.data.Dataset:
     return synth_images_from_documents(sf_dir).map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=64,
         concurrency=(1, 4))
+
+
+def image_features_summary(sf_dir: str) -> ray.data.Dataset:
+    """SQL-checkable projection of the feature pipeline: histogram
+    invariants (8 bins summing to 1) on every ok row, plus — on the
+    planted constant-PNG rows (doc_id % 17 == 15) — the EXACT channel
+    mean and the one-hot histogram's argmax bin, both pure doc_id
+    arithmetic recomputed independently by the DuckDB oracle."""
+    feats = image_features(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        means = t.column("channel_means")
+        embs = t.column("embedding")
+        n_ch = pc.list_value_length(means).to_numpy().astype(np.int64)
+        emb_len = pc.list_value_length(embs).to_numpy().astype(np.int64)
+        # segment sums / argmax over the flattened embedding lists
+        flat = embs.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ptr = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(emb_len, out=ptr[1:])
+        cs = np.concatenate([[0.0], np.cumsum(flat)])
+        emb_sum = np.round(cs[ptr[1:]] - cs[ptr[:-1]], 4)
+        planted = ids % 17 == 15
+        mean0 = np.full(len(ids), np.nan)
+        top_bin = np.full(len(ids), -1, np.int64)
+        for j in np.flatnonzero(planted):
+            m = means[j].as_py()
+            e = embs[j].as_py()
+            if m:
+                mean0[j] = round(m[0], 4)
+            if e:
+                top_bin[j] = int(np.argmax(e))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "status": t["status"],
+            "n_channels": pa.array(n_ch),
+            "emb_len": pa.array(emb_len),
+            "emb_sum": pa.array(emb_sum, pa.float64()),
+            "mean0": pa.array(np.where(planted, mean0, np.nan),
+                              pa.float64()),
+            "top_bin": pa.array(
+                np.where(planted, top_bin, -1), pa.int64())})
+
+    return feats.map_batches(proj, batch_format="pyarrow")
 
 
 # ------------------------------------------------------ video frames
