@@ -33,6 +33,7 @@ from text_extraction_system_ray.pipelines import paradedup as _para
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
 from text_extraction_system_ray.pipelines import retrieval as _ret
+from text_extraction_system_ray.pipelines import shardshuffle as _shard
 from text_extraction_system_ray.pipelines import snapshot as _snap
 from text_extraction_system_ray.pipelines import packing as _pack
 from text_extraction_system_ray.pipelines import substr as _substr
@@ -172,6 +173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-lite LM quality score: corpus-trained char-trigram LM
         # (bounded vocab → broadcast), per-doc mean log-probability
         "lm_quality_score": _lm.lm_quality_score,
+        # deterministic training-shard shuffle: md5-keyed permutation
+        # → (shard, pos) layout; payload-free ranking via the same
+        # two-level scan; SQL-checked vs one window function
+        "shard_shuffle": _shard.shard_shuffle,
         # C4-style line filtering (terminal-punct / min-words /
         # javascript / lorem-ipsum rules over planted line structure):
         # shuffle-free vectorized map; SQL-checked
@@ -727,6 +732,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        # shard shuffle: the oracle recomputes the md5 permutation key
+        # and per-shard rank with one window function
+        "shard_shuffle": """
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                            AS UBIGINT) AS key
+                FROM documents
+            )
+            SELECT doc_id, CAST(key % 8 AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY key % 8
+                        ORDER BY key) - 1 AS BIGINT) AS pos
+            FROM k ORDER BY doc_id
         """,
         # C4 line filter: the oracle rebuilds the planted line layout
         # (UNION ALL, one branch per slot) and re-applies the frozen

@@ -119,3 +119,16 @@ def test_line_filter_dataset(ray_session, tmp_path):
     d = _write_docs(tmp_path, [0, 36], ["alpha beta gamma"] * 2)
     df = _lf.c4_line_filter(d).to_pandas()
     assert list(df["doc_id"]) == [0]
+
+
+# ------------------------------------------------------------ shard shuffle
+def test_shard_shuffle_is_permutation(ray_session):
+    from text_extraction_system_ray.pipelines import shardshuffle as _ss
+    df = _ss.shard_shuffle("/root/testdata/sf0.001").to_pandas()
+    assert df["doc_id"].is_unique
+    for s, g in df.groupby("shard"):
+        pos = np.sort(g["pos"].to_numpy())
+        assert (pos == np.arange(len(g))).all()     # contiguous ranks
+    # md5 balance: no shard more than 2x the mean
+    sizes = df.groupby("shard").size()
+    assert len(sizes) == 8 and sizes.max() < 2 * sizes.mean()
