@@ -32,7 +32,6 @@ how many.
 """
 from __future__ import annotations
 
-import hashlib
 from typing import List, Optional
 
 import numpy as np
@@ -41,15 +40,10 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Min, Sum
 
+from .decontam import _md5_low64      # vectorized (DuckDB md5 kernel)
+
 _CHECK_MOD = 1_000_000_007
 _MAX_PARAS = 4          # occ stride; planted layout emits <= 3
-
-
-def _md5_low64(paras: List[str]) -> np.ndarray:
-    md5 = hashlib.md5
-    return np.fromiter(
-        (int.from_bytes(md5(p.encode("utf-8")).digest()[:8], "big")
-         for p in paras), np.uint64, len(paras))
 
 
 def _planted_paragraphs(doc_id: int, text: Optional[str]) -> List[str]:

@@ -27,9 +27,6 @@ doc_id).  The SQL oracle recomputes the same with one window function.
 """
 from __future__ import annotations
 
-import hashlib
-from typing import List
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -38,15 +35,14 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from .decontam import _md5_low64      # vectorized (DuckDB md5 kernel)
+
 N_SHARDS = 8
 KEY_BUCKETS = 64            # rank sub-buckets per shard (key high bits)
 
 
 def _keys(ids: np.ndarray) -> np.ndarray:
-    md5 = hashlib.md5
-    return np.fromiter(
-        (int.from_bytes(md5(str(int(d)).encode()).digest()[:8], "big")
-         for d in ids), np.uint64, len(ids))
+    return _md5_low64([str(int(d)) for d in ids])
 
 
 def _rows_and_partials(t: pa.Table, n_shards: int) -> pa.Table:
