@@ -132,3 +132,18 @@ def test_shard_shuffle_is_permutation(ray_session):
     # md5 balance: no shard more than 2x the mean
     sizes = df.groupby("shard").size()
     assert len(sizes) == 8 and sizes.max() < 2 * sizes.mean()
+
+
+def test_paragraph_dedup_paths_equal(ray_session, monkeypatch):
+    """Driver finish and distributed shuffle plan produce identical
+    output (the adaptive-guard contract)."""
+    from text_extraction_system_ray.pipelines import dedup as _dedup
+    from text_extraction_system_ray.pipelines import paradedup as _pd
+    sf = "/root/testdata/sf0.001"
+    fast = _pd.paragraph_dedup(sf)
+    fast = fast if isinstance(fast, pd.DataFrame) else fast.to_pandas()
+    monkeypatch.setattr(_dedup, "DRIVER_GROUP_DOC_LIMIT", 0)
+    slow = _pd.paragraph_dedup(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True),
+        check_dtype=False)

@@ -105,12 +105,52 @@ def _fold_partials(t: pa.Table) -> pa.Table:
         "kept_checksum": pa.array(z)})
 
 
-def paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
+def _driver_finish(rows: "ray.data.Dataset") -> pa.Table:
+    """Small-corpus finish: reduce the compact occurrence table on the
+    driver in one vectorized pass (the ``exact_dedup`` adaptive
+    pattern — an all-to-all over 24 B rows costs more than it moves)."""
+    t = rows.to_pandas()
+    real = t[t["occ"] >= 0]
+    h = real["h"].to_numpy()
+    occ = real["occ"].to_numpy()
+    plen = real["plen"].to_numpy()
+    order = np.lexsort((occ, h))
+    hs, os_ = h[order], occ[order]
+    winner_pos = np.ones(len(hs), bool)
+    winner_pos[1:] = hs[1:] != hs[:-1]      # first occ per hash group
+    kept = np.zeros(len(hs), bool)
+    kept[order] = winner_pos
+    doc = occ // _MAX_PARAS
+    part = t[t["occ"] < 0]
+    ids = part["h"].to_numpy()              # partials carry doc_id in h
+    n_paras_arr = part["plen"].to_numpy()
+    s = np.argsort(ids, kind="stable")      # block order isn't guaranteed
+    ids, n_paras_arr = ids[s], n_paras_arr[s]
+    idx = np.searchsorted(ids, doc)
+    n_kept = np.bincount(idx, weights=kept, minlength=len(ids))
+    kept_chars = np.bincount(idx, weights=kept * plen,
+                             minlength=len(ids))
+    chk = (h.astype(np.uint64) % _CHECK_MOD).astype(np.float64)
+    kept_chk = np.bincount(idx, weights=kept * chk, minlength=len(ids))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_paras": pa.array(n_paras_arr, pa.int64()),
+        "n_kept": pa.array(n_kept.astype(np.int64)),
+        "kept_chars": pa.array(kept_chars.astype(np.int64)),
+        "kept_checksum": pa.array(kept_chk.astype(np.int64))})
+
+
+def paragraph_dedup(sf_dir: str):
     """Per-doc paragraph keep stats under corpus-wide first-wins."""
+    from .dedup import DRIVER_GROUP_DOC_LIMIT, _n_docs
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     rows = ds.map_batches(_occurrences,
                           batch_format="pyarrow").materialize()
+    if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
+        out = _driver_finish(rows)
+        return out.to_pandas().sort_values("doc_id").reset_index(
+            drop=True)
     winners = (rows.map_batches(
         lambda t: t.filter(pc.greater_equal(t["occ"], 0)),
         batch_format="pyarrow")
