@@ -121,7 +121,8 @@ def run_queries() -> dict:
               "json_props_stats", "repetition_signals", "decontaminate",
               "pii_redact", "fix_mojibake", "snapshot_delta",
               "vocab_topk", "text_index_lookup", "lm_quality_score",
-              "paragraph_dedup", "token_budget_select", "c4_line_filter"]
+              "paragraph_dedup", "token_budget_select", "c4_line_filter",
+              "shard_shuffle"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -12,6 +12,10 @@ from text_extraction_system_ray.pipelines import linefilter as _lf
 from text_extraction_system_ray.pipelines import paradedup as _para
 
 
+def _df(r):
+    return r if isinstance(r, pd.DataFrame) else r.to_pandas()
+
+
 def _write_docs(d, ids, texts):
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
                     "text": pa.array(texts, pa.string())})
@@ -28,11 +32,11 @@ def test_budget_boundary_and_order(ray_session, tmp_path):
     d = _write_docs(tmp_path, ids, texts)
     # budget 60: doc0 (cum 30) + doc1 (cum 50) + doc2 (cum 60, exactly
     # at the budget → included); doc3 (cum 65) excluded
-    df = _budget.token_budget_select(d, budget=60).to_pandas()
+    df = _df(_budget.token_budget_select(d, budget=60))
     assert list(df["doc_id"]) == [0, 1, 2]
     assert list(df["cum_tokens"]) == [30, 50, 60]
     # budget 59: the boundary doc drops
-    df = _budget.token_budget_select(d, budget=59).to_pandas()
+    df = _df(_budget.token_budget_select(d, budget=59))
     assert list(df["doc_id"]) == [0, 1]
 
 
@@ -41,11 +45,10 @@ def test_budget_quality_ties_break_by_doc_id(ray_session, tmp_path):
     ids = [5, 9, 2]
     texts = ["alpha beta gamma delta epsilon"] * 3   # 5 tokens each
     d = _write_docs(tmp_path, ids, texts)
-    df = _budget.token_budget_select(d, budget=10).to_pandas()
+    df = _df(_budget.token_budget_select(d, budget=10))
     assert list(df["doc_id"]) == [2, 5]              # lowest ids win
     # sub-bucketing must not change the result
-    df2 = _budget.token_budget_select(d, budget=10, sub_bucket=1
-                                      ).to_pandas()
+    df2 = _df(_budget.token_budget_select(d, budget=10, sub_bucket=1))
     pd.testing.assert_frame_equal(df, df2)
 
 
@@ -74,7 +77,7 @@ def test_paragraph_dedup_within_and_across_docs(ray_session, tmp_path):
     # 5%4=1 no footer.  Body dup across docs → doc 5 keeps nothing
     # but still reports n_paras.
     d = _write_docs(tmp_path, [2, 5], ["same body text", "same body text"])
-    df = _para.paragraph_dedup(d).to_pandas().set_index("doc_id")
+    df = _df(_para.paragraph_dedup(d)).set_index("doc_id")
     assert df.loc[2, "n_paras"] == 2        # body + footer
     assert df.loc[2, "n_kept"] == 2
     assert df.loc[5, "n_paras"] == 1
@@ -124,7 +127,7 @@ def test_line_filter_dataset(ray_session, tmp_path):
 # ------------------------------------------------------------ shard shuffle
 def test_shard_shuffle_is_permutation(ray_session):
     from text_extraction_system_ray.pipelines import shardshuffle as _ss
-    df = _ss.shard_shuffle("/root/testdata/sf0.001").to_pandas()
+    df = _df(_ss.shard_shuffle("/root/testdata/sf0.001"))
     assert df["doc_id"].is_unique
     for s, g in df.groupby("shard"):
         pos = np.sort(g["pos"].to_numpy())
@@ -147,3 +150,22 @@ def test_paragraph_dedup_paths_equal(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True), slow.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_budget_and_shard_paths_equal(ray_session, monkeypatch):
+    """Driver finish == distributed plan for budget select and shard
+    shuffle (the adaptive-guard contract)."""
+    from text_extraction_system_ray.pipelines import dedup as _dedup
+    from text_extraction_system_ray.pipelines import shardshuffle as _ss
+    sf = "/root/testdata/sf0.001"
+    fast_b = _df(_budget.token_budget_select(sf))
+    fast_s = _df(_ss.shard_shuffle(sf))
+    monkeypatch.setattr(_dedup, "DRIVER_GROUP_DOC_LIMIT", 0)
+    slow_b = _df(_budget.token_budget_select(sf))
+    slow_s = _df(_ss.shard_shuffle(sf))
+    pd.testing.assert_frame_equal(fast_b.reset_index(drop=True),
+                                  slow_b.reset_index(drop=True),
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(fast_s.reset_index(drop=True),
+                                  slow_s.reset_index(drop=True),
+                                  check_dtype=False)

@@ -104,13 +104,36 @@ def _scan_group(g: pd.DataFrame, bases, budget: int) -> pd.DataFrame:
         "cum_tokens": cum[keep]})
 
 
+def _driver_finish(rows: "ray.data.Dataset", budget: int) -> pd.DataFrame:
+    """Small-corpus finish: one lexsort over the compact rows on the
+    driver (the ``exact_dedup`` adaptive pattern — a groupby shuffle
+    into hundreds of tiny (qkey, sub) groups costs ~1 ms Python each,
+    more than the whole reduction)."""
+    t = rows.to_pandas()
+    t = t[t["doc_id"] >= 0]
+    ids = t["doc_id"].to_numpy()
+    order = np.lexsort((ids, t["gkey"].to_numpy()))
+    nt = t["nt"].to_numpy()[order]
+    cum = np.cumsum(nt)
+    keep = cum <= budget
+    out = pd.DataFrame({
+        "doc_id": ids[order][keep],
+        "quality": t["q"].to_numpy()[order][keep],
+        "n_tokens": nt[keep],
+        "cum_tokens": cum[keep]})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def token_budget_select(sf_dir: str, budget: int = TOKEN_BUDGET,
-                        sub_bucket: int = SUB_BUCKET) -> ray.data.Dataset:
+                        sub_bucket: int = SUB_BUCKET):
     """Highest-quality prefix of the corpus within a token budget."""
+    from .dedup import DRIVER_GROUP_DOC_LIMIT, _n_docs
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     rows = ds.map_batches(lambda t: _rows_and_partials(t, sub_bucket),
                           batch_format="pyarrow").materialize()
+    if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
+        return _driver_finish(rows, budget)
     totals = (rows.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], 0))
                    .select(["gkey", "nt"]), batch_format="pyarrow")

@@ -79,13 +79,33 @@ def _rank_group(g: pd.DataFrame, bases) -> pd.DataFrame:
                          "pos": pos})
 
 
-def shard_shuffle(sf_dir: str,
-                  n_shards: int = N_SHARDS) -> ray.data.Dataset:
+def _driver_finish(rows: "ray.data.Dataset",
+                   n_shards: int) -> pd.DataFrame:
+    """Small-corpus finish: one lexsort on the driver (the
+    ``exact_dedup`` adaptive pattern; the compact rows are 24 B/doc)."""
+    t = rows.to_pandas()
+    t = t[t["doc_id"] >= 0]
+    ids = t["doc_id"].to_numpy()
+    key = t["key"].to_numpy().view(np.uint64)
+    shard = (key % n_shards).astype(np.int64)
+    order = np.lexsort((key, shard))
+    pos = np.empty(len(t), np.int64)
+    pos[order] = np.arange(len(t))
+    starts = np.searchsorted(shard[order], np.arange(n_shards))
+    pos -= starts[shard]                    # rank within shard
+    return (pd.DataFrame({"doc_id": ids, "shard": shard, "pos": pos})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def shard_shuffle(sf_dir: str, n_shards: int = N_SHARDS):
     """(doc_id, shard, pos): deterministic random-order shard layout."""
+    from .dedup import DRIVER_GROUP_DOC_LIMIT, _n_docs
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     rows = ds.map_batches(lambda t: _rows_and_partials(t, n_shards),
                           batch_format="pyarrow").materialize()
+    if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
+        return _driver_finish(rows, n_shards)
     totals = (rows.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], 0))
                    .select(["gkey", "key"]), batch_format="pyarrow")
