@@ -58,15 +58,6 @@ def _text_hashes(texts: List[Optional[str]]
                          np.uint64).view(np.int64), hexes)
 
 
-def _old_hash_table(t: pa.Table) -> pa.Table:
-    ids = t.column("doc_id").to_numpy()
-    mask = ids % OLD_MOD != OLD_EXCLUDE
-    texts = t.column("text").take(
-        pa.array(np.flatnonzero(mask))).to_pylist()
-    h, _ = _text_hashes(texts)
-    return pa.table({"h": pa.array(np.unique(h), pa.int64())})
-
-
 def _new_rows(t: pa.Table) -> pa.Table:
     h, hexes = _text_hashes(t.column("text").to_pylist())
     return pa.table({"doc_id": t.column("doc_id"),
@@ -74,38 +65,56 @@ def _new_rows(t: pa.Table) -> pa.Table:
                      "text_hash": pa.array(hexes, pa.string())})
 
 
+def _old_uniques(t: pa.Table) -> pa.Table:
+    """Compact rows → per-batch distinct OLD-side hashes."""
+    ids = t.column("doc_id").to_numpy()
+    h = t.column("h").to_numpy()
+    return pa.table({"h": pa.array(
+        np.unique(h[ids % OLD_MOD != OLD_EXCLUDE]), pa.int64())})
+
+
 class _AntiProbe:
     def __init__(self, old_ref):
         self.old = ray.get(old_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        rows = _new_rows(t)
-        h = rows.column("h").to_numpy()
+        h = t.column("h").to_numpy()
         if len(self.old):
             pos = np.minimum(np.searchsorted(self.old, h),
                              len(self.old) - 1)
             novel = self.old[pos] != h
         else:
             novel = np.ones(len(h), bool)
-        return rows.filter(pa.array(novel)).drop_columns(["h"])
+        return t.filter(pa.array(novel)).drop_columns(["h"])
 
 
 def snapshot_delta(sf_dir: str, force_shuffle: bool = False
                    ) -> ray.data.Dataset:
-    """Novel-content rows of the new snapshot: (doc_id, text_hash)."""
+    """Novel-content rows of the new snapshot: (doc_id, text_hash).
+
+    The text is read and hashed EXACTLY ONCE: the compact
+    ``(doc_id, h, text_hash)`` table (~32 B/doc) is materialized and
+    both sides — the old snapshot's distinct hash set and the probed
+    new rows — derive from it (branching the un-materialized pipeline
+    would re-run the parquet read + md5 scan per consumer)."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    old_ds = docs.map_batches(_old_hash_table, batch_format="pyarrow")
-    n_old = old_ds.count()
-    if not force_shuffle and n_old <= BROADCAST_HASH_LIMIT:
+    rows = docs.map_batches(_new_rows,
+                            batch_format="pyarrow").materialize()
+    old_ds = rows.map_batches(_old_uniques, batch_format="pyarrow")
+    # the guard count runs over the compact materialized table (sum of
+    # per-batch distinct counts = a safe upper bound on the global
+    # distinct count), NOT a second text scan
+    if not force_shuffle and old_ds.count() <= BROADCAST_HASH_LIMIT:
         chunks = [b["h"].to_numpy(zero_copy_only=False)
                   for b in old_ds.iter_batches(batch_format="pyarrow")]
         old = np.unique(np.concatenate(chunks)) if chunks else \
             np.zeros(0, np.int64)
         ref = ray.put(old)
-        return docs.map_batches(
+        return rows.map_batches(
             _AntiProbe, fn_constructor_kwargs={"old_ref": ref},
-            batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=(1, 8))
     # at-scale anti-join: distinct old hashes get a marker column; a
     # left-outer join leaves the marker null exactly on novel rows
     old_distinct = (old_ds.groupby("h").count()
@@ -116,7 +125,7 @@ def snapshot_delta(sf_dir: str, force_shuffle: bool = False
                                 np.ones(t.num_rows, np.int64),
                                 pa.int64())}),
                         batch_format="pyarrow"))
-    new_ds = docs.map_batches(_new_rows, batch_format="pyarrow")
+    new_ds = rows
     # 16 partitions: the repo-wide floor that stays deadlock-free on
     # small CPU counts (hash-shuffle aggregator actors need slots
     # alongside the map operators); scale runs raise it via the same
