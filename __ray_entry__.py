@@ -35,6 +35,7 @@ from text_extraction_system_ray.pipelines import relational as _rel
 from text_extraction_system_ray.pipelines import retrieval as _ret
 from text_extraction_system_ray.pipelines import shardshuffle as _shard
 from text_extraction_system_ray.pipelines import snapshot as _snap
+from text_extraction_system_ray.pipelines import sourcestats as _src
 from text_extraction_system_ray.pipelines import packing as _pack
 from text_extraction_system_ray.pipelines import substr as _substr
 from text_extraction_system_ray.pipelines import textindex as _tix
@@ -173,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-lite LM quality score: corpus-trained char-trigram LM
         # (bounded vocab → broadcast), per-doc mean log-probability
         "lm_quality_score": _lm.lm_quality_score,
+        # per-source corpus mixture dashboard (docs/tokens/mean
+        # quality/language spread per source); scaled-int quality sum
+        # so the 4-decimal mean is order-independent; SQL-checked
+        "source_stats": _src.source_stats,
         # deterministic training-shard shuffle: md5-keyed permutation
         # → (shard, pos) layout; payload-free ranking via the same
         # two-level scan; SQL-checked vs one window function
@@ -732,6 +737,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        # source mixture: quality recomputed per doc, mean via exact
+        # integer sum (scaled-int), distinct langs per source
+        "source_stats": f"""
+            WITH toks AS (
+                SELECT source, lang,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents
+            ), m AS (
+                SELECT source, lang, len(t) AS nt,
+                       ROUND(0.5 * ROUND(LEAST(1.0, len(t) / 50.0), 4)
+                             + 0.5 * CASE WHEN len(t) = 0 THEN 0.0
+                                   ELSE ROUND(len(list_filter(t,
+                                       x -> x IN ({_STOP_SQL}))) * 1.0
+                                       / len(t), 4) END,
+                             4) AS quality
+                FROM toks
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(CAST(ROUND(quality * 10000, 0) AS BIGINT))
+                         / 10000.0 / COUNT(*), 4) AS avg_quality,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM m GROUP BY source ORDER BY source
         """,
         # shard shuffle: the oracle recomputes the md5 permutation key
         # and per-shard rank with one window function
