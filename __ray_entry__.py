@@ -30,6 +30,7 @@ from text_extraction_system_ray.pipelines import mojibake as _moji
 from text_extraction_system_ray.pipelines import budget as _budget
 from text_extraction_system_ray.pipelines import linefilter as _lf
 from text_extraction_system_ray.pipelines import paradedup as _para
+from text_extraction_system_ray.pipelines import mixture as _mix
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
 from text_extraction_system_ray.pipelines import retrieval as _ret
@@ -174,6 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-lite LM quality score: corpus-trained char-trigram LM
         # (bounded vocab → broadcast), per-doc mean log-probability
         "lm_quality_score": _lm.lm_quality_score,
+        # domain-mixture resampling (DoReMi-lite): per-domain
+        # acceptance rates from observed vs uniform-target shares,
+        # deterministic md5 acceptance filter; SQL-checked
+        "mixture_sample": _mix.mixture_sample,
         # per-source corpus mixture dashboard (docs/tokens/mean
         # quality/language spread per source); scaled-int quality sum
         # so the 4-decimal mean is order-independent; SQL-checked
@@ -737,6 +742,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        # mixture resampling: the oracle rebuilds the planted domain
+        # split, recomputes observed shares → basis-point rates, and
+        # replays the md5 acceptance test
+        "mixture_sample": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 <= 5 THEN 'web'
+                            WHEN doc_id % 10 <= 8 THEN 'books'
+                            ELSE 'wiki' END AS domain,
+                       CAST(CAST(concat('0x', substr(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                            AS UBIGINT) % 10000 AS BIGINT) AS bp
+                FROM documents
+            ), c AS (
+                SELECT domain, count(*) AS n FROM d GROUP BY domain
+            ), r AS (
+                SELECT domain,
+                       CAST(floor(LEAST(1.0,
+                            ((SELECT count(*) FROM d) * 1.0
+                             / (SELECT count(*) FROM c)) / n)
+                            * 10000) AS BIGINT) AS rate_bp
+                FROM c
+            )
+            SELECT doc_id, domain, bp AS accept_bp
+            FROM d JOIN r USING (domain)
+            WHERE bp < rate_bp ORDER BY doc_id
         """,
         # source mixture: quality recomputed per doc, mean via exact
         # integer sum (scaled-int), distinct langs per source
