@@ -30,6 +30,7 @@ from text_extraction_system_ray.pipelines import mojibake as _moji
 from text_extraction_system_ray.pipelines import budget as _budget
 from text_extraction_system_ray.pipelines import linefilter as _lf
 from text_extraction_system_ray.pipelines import paradedup as _para
+from text_extraction_system_ray.pipelines import curatev2 as _cur2
 from text_extraction_system_ray.pipelines import mixture as _mix
 from text_extraction_system_ray.pipelines import multimodal as _mm
 from text_extraction_system_ray.pipelines import relational as _rel
@@ -175,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-lite LM quality score: corpus-trained char-trigram LM
         # (bounded vocab → broadcast), per-doc mean log-probability
         "lm_quality_score": _lm.lm_quality_score,
+        # flagship composition #2: pretraining prep — C4 line filter →
+        # paragraph-dedup share rule → mixture resample (rates from
+        # the SURVIVORS) → token budget; one SQL oracle end-to-end
+        "curate_pretrain": _cur2.curate_pretrain,
         # domain-mixture resampling (DoReMi-lite): per-domain
         # acceptance rates from observed vs uniform-target shares,
         # deterministic md5 acceptance filter; SQL-checked
@@ -742,6 +747,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, stop_ratio, len_score,
                    ROUND(0.5 * len_score + 0.5 * stop_ratio, 4) AS quality
             FROM m
+        """,
+        # pretraining-prep composition: the four stage rules replayed
+        # as one CTE chain (line filter → paragraph first-wins share →
+        # survivor-mixture rates → budget window)
+        "curate_pretrain": f"""
+            WITH raw AS (
+                SELECT doc_id, coalesce(text, '') || '.' AS l
+                FROM documents
+                UNION ALL SELECT doc_id, 'click here for more'
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL SELECT doc_id,
+                    'please enable javascript to continue.'
+                FROM documents WHERE doc_id % 6 = 3
+                UNION ALL SELECT doc_id, 'ok then.'
+                FROM documents WHERE doc_id % 7 = 1
+                UNION ALL SELECT doc_id,
+                    'this is a valid closing sentence number ' ||
+                    (doc_id % 9) || '.'
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL SELECT doc_id, 'lorem ipsum dolor sit amet.'
+                FROM documents WHERE doc_id % 31 = 5
+            ), flags AS (
+                SELECT doc_id, trim(l) AS l,
+                       CASE WHEN regexp_matches(trim(l), '[.!?"]$')
+                             AND len(list_filter(string_split_regex(
+                                     trim(l), '\\s+'), x -> x <> '')) >= 3
+                             AND NOT contains(trim(l), 'javascript')
+                            THEN 1 ELSE 0 END AS keep,
+                       CASE WHEN contains(l, 'lorem ipsum')
+                             OR contains(l, '{{')
+                            THEN 1 ELSE 0 END AS kill
+                FROM raw
+            ), lf AS (
+                SELECT doc_id,
+                       CAST(sum(keep) AS BIGINT) AS n_kept_lines,
+                       CAST(sum(keep * len(list_filter(
+                            string_split_regex(l, '\\s+'),
+                            x -> x <> ''))) AS BIGINT) AS kept_tokens
+                FROM flags GROUP BY doc_id HAVING max(kill) = 0
+            ), occ AS (
+                SELECT doc_id, 0 AS idx,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'shared footer all rights reserved'
+                            ELSE 'promo block ' || (doc_id % 7)
+                       END AS p
+                FROM documents WHERE doc_id % 3 IN (0, 1)
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0
+                       END AS idx,
+                       coalesce(text, '') AS p
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 IN (0, 1) THEN 2 ELSE 1
+                       END AS idx,
+                       'contact page about ' || (doc_id % 11) AS p
+                FROM documents WHERE doc_id % 4 = 2
+            ), w AS (
+                SELECT doc_id, p,
+                       ROW_NUMBER() OVER (PARTITION BY p
+                           ORDER BY doc_id, idx) AS rn
+                FROM occ
+            ), pdp AS (
+                SELECT doc_id, count(*) AS n_paras,
+                       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_kept_paras
+                FROM w GROUP BY doc_id
+            ), toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       ROUND(0.5 * ROUND(LEAST(1.0, len(t) / 50.0), 4)
+                             + 0.5 * CASE WHEN len(t) = 0 THEN 0.0
+                                   ELSE ROUND(len(list_filter(t,
+                                       x -> x IN ({_STOP_SQL}))) * 1.0
+                                       / len(t), 4) END,
+                             4) AS quality
+                FROM toks
+            ), surv AS (
+                SELECT lf.doc_id, lf.kept_tokens, q.quality,
+                       CASE WHEN lf.doc_id % 10 <= 5 THEN 'web'
+                            WHEN lf.doc_id % 10 <= 8 THEN 'books'
+                            ELSE 'wiki' END AS domain,
+                       CAST(CAST(concat('0x', substr(
+                            md5(CAST(lf.doc_id AS VARCHAR)), 1, 16))
+                            AS UBIGINT) % 10000 AS BIGINT) AS bp
+                FROM lf
+                JOIN pdp ON pdp.doc_id = lf.doc_id
+                JOIN q ON q.doc_id = lf.doc_id
+                WHERE lf.n_kept_lines >= 2
+                  AND 2 * pdp.n_kept_paras >= pdp.n_paras
+            ), c AS (
+                SELECT domain, count(*) AS n FROM surv GROUP BY domain
+            ), r AS (
+                SELECT domain,
+                       CAST(floor(LEAST(1.0,
+                            ((SELECT count(*) FROM surv) * 1.0
+                             / (SELECT count(*) FROM c)) / n)
+                            * 10000) AS BIGINT) AS rate_bp
+                FROM c
+            ), mx AS (
+                SELECT surv.* FROM surv JOIN r USING (domain)
+                WHERE bp < rate_bp
+            ), sel AS (
+                SELECT doc_id, domain, quality, kept_tokens,
+                       SUM(kept_tokens) OVER (
+                           ORDER BY quality DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+                FROM mx
+            )
+            SELECT doc_id, domain, quality,
+                   kept_tokens AS n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM sel WHERE cum <= 5000 ORDER BY doc_id
         """,
         # mixture resampling: the oracle rebuilds the planted domain
         # split, recomputes observed shares → basis-point rates, and

@@ -169,3 +169,16 @@ def test_budget_and_shard_paths_equal(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(fast_s.reset_index(drop=True),
                                   slow_s.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_curate_pretrain_paths_equal(ray_session, monkeypatch):
+    from text_extraction_system_ray.pipelines import curatev2 as _c2
+    from text_extraction_system_ray.pipelines import dedup as _dedup
+    sf = "/root/testdata/sf0.001"
+    fast = _df(_c2.curate_pretrain(sf))
+    assert len(fast) > 10            # the composition selects a real subset
+    monkeypatch.setattr(_dedup, "DRIVER_GROUP_DOC_LIMIT", 0)
+    slow = _df(_c2.curate_pretrain(sf))
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow.reset_index(drop=True),
+                                  check_dtype=False)

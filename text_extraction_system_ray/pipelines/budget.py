@@ -124,16 +124,32 @@ def _driver_finish(rows: "ray.data.Dataset", budget: int) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def select_budget_rows(rows: "ray.data.Dataset", budget: int,
+                       n_docs: int):
+    """Budget selection over a materialized compact row table
+    (``doc_id, gkey, nt, q`` rows + tagged per-gkey partials — the
+    output shape of :func:`_rows_and_partials`).  Reused by
+    ``token_budget_select`` and the ``curate_pretrain`` composition.
+    Small inputs finish on the driver; above the guard the two-level
+    scan runs with the budget-pruned shuffle."""
+    from .dedup import DRIVER_GROUP_DOC_LIMIT
+    if n_docs <= DRIVER_GROUP_DOC_LIMIT:
+        return _driver_finish(rows, budget)
+    return _distributed_select(rows, budget)
+
+
 def token_budget_select(sf_dir: str, budget: int = TOKEN_BUDGET,
                         sub_bucket: int = SUB_BUCKET):
     """Highest-quality prefix of the corpus within a token budget."""
-    from .dedup import DRIVER_GROUP_DOC_LIMIT, _n_docs
+    from .dedup import _n_docs
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     rows = ds.map_batches(lambda t: _rows_and_partials(t, sub_bucket),
                           batch_format="pyarrow").materialize()
-    if _n_docs(sf_dir) <= DRIVER_GROUP_DOC_LIMIT:
-        return _driver_finish(rows, budget)
+    return select_budget_rows(rows, budget, _n_docs(sf_dir))
+
+
+def _distributed_select(rows: "ray.data.Dataset", budget: int):
     totals = (rows.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], 0))
                    .select(["gkey", "nt"]), batch_format="pyarrow")
