@@ -122,7 +122,8 @@ def run_queries() -> dict:
               "pii_redact", "fix_mojibake", "snapshot_delta",
               "vocab_topk", "text_index_lookup", "lm_quality_score",
               "paragraph_dedup", "token_budget_select", "c4_line_filter",
-              "shard_shuffle"]
+              "shard_shuffle", "source_stats", "mixture_sample",
+              "curate_pretrain"]
     out = {}
     for name in picked:
         t0 = time.monotonic()
