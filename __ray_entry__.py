@@ -38,6 +38,8 @@ from text_extraction_system_ray.pipelines import retrieval as _ret
 from text_extraction_system_ray.pipelines import shardshuffle as _shard
 from text_extraction_system_ray.pipelines import snapshot as _snap
 from text_extraction_system_ray.pipelines import sourcestats as _src
+from text_extraction_system_ray.pipelines import split as _split
+from text_extraction_system_ray.pipelines import pagerank as _pr
 from text_extraction_system_ray.pipelines import packing as _pack
 from text_extraction_system_ray.pipelines import substr as _substr
 from text_extraction_system_ray.pipelines import textindex as _tix
@@ -188,6 +190,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality/language spread per source); scaled-int quality sum
         # so the 4-decimal mean is order-independent; SQL-checked
         "source_stats": _src.source_stats,
+        # deterministic train/val/test split manifest (md5 90/5/5 rule,
+        # per-(split,lang) doc/token/char totals via per-batch
+        # combiners — a few dozen partial rows shuffle per block);
+        # SQL-checked
+        "corpus_split": _split.corpus_split,
+        # distributed PageRank (iterative op class) over the planted
+        # link graph: exact-integer fixed point — broadcast rank
+        # vector, per-batch combined contributions, one tiny
+        # groupby(dst) shuffle per iteration; SQL-checked against an
+        # unrolled 10-iteration CTE chain
+        "pagerank_topk": _pr.pagerank_topk,
         # deterministic training-shard shuffle: md5-keyed permutation
         # → (shard, pos) layout; payload-free ranking via the same
         # two-level scan; SQL-checked vs one window function
@@ -309,6 +322,34 @@ _JACCARD_PAIRS_SQL = """
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold}
 """
+
+def _pagerank_sql(iters: int = 10, k: int = 20) -> str:
+    """Unrolled exact-integer PageRank: one CTE per iteration, same
+    floor-division recurrence as the engine (pipelines/pagerank.py) —
+    integer sums commute, so the two sides cannot diverge."""
+    parts = [
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        """e AS (
+            SELECT d.doc_id AS src, CAST(1 + d.doc_id % 4 AS BIGINT) AS deg,
+                   (d.doc_id * 31 + 17 + s.j * 7919)
+                       % (SELECT n FROM nn) AS dst
+            FROM documents d, (SELECT unnest([0,1,2,3]) AS j) s
+            WHERE s.j < 1 + d.doc_id % 4)""",
+        "r0 AS (SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS r "
+        "FROM documents)"]
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+            SELECT d.doc_id AS node,
+                   CAST(150000000 + (85 * COALESCE(s.tot, 0)) // 100
+                        AS BIGINT) AS r
+            FROM documents d LEFT JOIN (
+                SELECT e.dst AS node, SUM(p.r // e.deg) AS tot
+                FROM e JOIN r{i - 1} p ON p.node = e.src
+                GROUP BY e.dst) s ON s.node = d.doc_id)""")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT node AS doc_id, r AS rank_units FROM r{iters} "
+            f"ORDER BY r DESC, node LIMIT {k}")
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -921,6 +962,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
             FROM m GROUP BY source ORDER BY source
         """,
+        # split manifest: oracle recomputes the md5 90/5/5 assignment
+        # and the \S+-run token count per (split, lang)
+        "corpus_split": r"""
+            WITH d AS (
+                SELECT lang, n_chars,
+                       CASE WHEN h < 9000 THEN 'train'
+                            WHEN h < 9500 THEN 'val'
+                            ELSE 'test' END AS split,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                       END AS n_tokens
+                FROM (SELECT *,
+                             CAST(CAST(concat('0x', substr(
+                                  md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                                  AS UBIGINT) % 10000 AS BIGINT) AS h
+                      FROM documents)
+            )
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM d GROUP BY split, lang ORDER BY split, lang
+        """,
+        "pagerank_topk": _pagerank_sql(),
         # shard shuffle: the oracle recomputes the md5 permutation key
         # and per-shard rank with one window function
         "shard_shuffle": """

@@ -86,7 +86,7 @@ def test_all_queries_run(entrymod):
     # r4 late additions: training-data curation trio
     "paragraph_dedup", "token_budget_select", "c4_line_filter",
     "image_features_summary", "shard_shuffle", "source_stats",
-    "mixture_sample", "curate_pretrain",
+    "mixture_sample", "curate_pretrain", "corpus_split", "pagerank_topk",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))
