@@ -45,6 +45,8 @@ from text_extraction_system_ray.pipelines import substr as _substr
 from text_extraction_system_ray.pipelines import textindex as _tix
 from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines import urlstats as _url
+from text_extraction_system_ray.pipelines import links as _links
+from text_extraction_system_ray.pipelines import semdedup as _sem
 from text_extraction_system_ray.pipelines.extraction import extract_dataset
 from text_extraction_system_ray.sources.pages import synth_pages
 
@@ -113,6 +115,59 @@ def _extract_pages_summary(sf_dir: str) -> ray.data.Dataset:
         })
 
     return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def _warc_source_counts(sf_dir: str) -> ray.data.Dataset:
+    """Pages → .warc.gz shards (one gzip member per record) → parse back
+    → per-source census. The read side sees ONLY the container bytes, so
+    a wrong WARC header/Content-Length/gzip-member boundary breaks the
+    count/kind columns; exact payload byte-equality is pinned in
+    tests/test_warc.py."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from text_extraction_system_ray.sources.warc import read_warc, write_warc
+
+    out_dir = tempfile.mkdtemp(prefix="tes_ray_warc_")
+    paths = write_warc(synth_pages(sf_dir), out_dir)
+    ds = read_warc(paths)
+
+    def census(t: pa.Table) -> pa.Table:
+        import numpy as np
+        urls = t.column("url").to_pylist()
+        payloads = t.column("html").to_pylist()
+        src = [u.rsplit("/", 2)[-2] for u in urls]
+        ids = np.fromiter((int(u[-8:]) for u in urls), np.int64, len(urls))
+        empty = np.fromiter((len(p) == 0 for p in payloads), bool, len(urls))
+        pdf = np.fromiter((p[:5] == b"%PDF-" for p in payloads), bool, len(urls))
+        return pa.table({
+            "source": pa.array(src, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "is_empty": pa.array(empty.astype(np.int64), pa.int64()),
+            "is_pdf": pa.array(pdf.astype(np.int64), pa.int64()),
+        })
+
+    rows = ds.map_batches(census, batch_format="pyarrow")
+    agg = rows.groupby("source").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Min("doc_id"),
+        ray.data.aggregate.Max("doc_id"),
+        ray.data.aggregate.Sum("is_empty"),
+        ray.data.aggregate.Sum("is_pdf"),
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "n_pages": t.column("count()").cast(pa.int64()),
+            "min_doc_id": t.column("min(doc_id)").cast(pa.int64()),
+            "max_doc_id": t.column("max(doc_id)").cast(pa.int64()),
+            "n_empty": t.column("sum(is_empty)").cast(pa.int64()),
+            "n_pdf": t.column("sum(is_pdf)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- queries
@@ -284,6 +339,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # planted-script language-ID gate: transliterated docs must
         # classify to the script's language (doc_id arithmetic oracle)
         "lang_id_planted": _ts.lang_id_planted,
+        # link-graph extraction over the pages corpus: the planted
+        # related-links nav is parsed out of the raw HTML payload for
+        # real; the oracle regenerates the exact edge set (doc_id
+        # arithmetic with a lateral series join)
+        "link_graph": _links.link_graph,
+        "outlink_stats": _links.outlink_stats,
+        # per-row STRING parity: the value hash covers the title bytes
+        "html_title_extract": _links.html_title_extract,
+        # WARC container round-trip: synth pages → .warc.gz shards
+        # (ISO 28500, per-record gzip members) → parse back → per-source
+        # corpus census; payload byte-equality is pinned in pytest
+        "warc_source_counts": _warc_source_counts,
+        # SemDedup-style semantic dedup (cluster → in-cluster prune),
+        # integer-exact end to end so the oracle is bit-for-bit
+        "semantic_dedup": _sem.semantic_dedup,
     }
 
 
@@ -1549,5 +1619,105 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        # planted related-links nav: targets (doc_id*31 + 97*j) % total,
+        # j = 1 .. 1 + doc_id % 5, HTML rows only
+        "link_graph": """
+            WITH params AS (SELECT count(*) AS total FROM documents),
+            edges AS (
+                SELECT (d.doc_id * 31 + 97 * j.j) % p.total AS target_doc_id
+                FROM documents d CROSS JOIN params p
+                JOIN range(1, 6) j(j) ON j.j <= 1 + d.doc_id % 5
+                WHERE d.doc_id % 53 <> 11 AND d.doc_id % 41 <> 7)
+            SELECT target_doc_id, count(*) AS indegree
+            FROM edges GROUP BY 1
+        """,
+        "outlink_stats": """
+            SELECT doc_id, CAST(1 + doc_id % 5 AS BIGINT) AS n_internal,
+                   CAST(6 AS BIGINT) AS n_external
+            FROM documents
+            WHERE doc_id % 53 <> 11 AND doc_id % 41 <> 7
+        """,
+        "html_title_extract": """
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' (' || source || ')'
+                       AS title
+            FROM documents
+            WHERE doc_id % 53 <> 11 AND doc_id % 41 <> 7
+        """,
+        "warc_source_counts": """
+            SELECT source,
+                   count(*) AS n_pages,
+                   min(doc_id) AS min_doc_id,
+                   max(doc_id) AS max_doc_id,
+                   sum(CASE WHEN doc_id % 53 = 11 THEN 1 ELSE 0 END)
+                       AS n_empty,
+                   sum(CASE WHEN doc_id % 53 <> 11 AND doc_id % 41 = 7
+                            THEN 1 ELSE 0 END) AS n_pdf
+            FROM documents GROUP BY source
+        """,
+        # SemDedup: quantize q = FLOOR(x*1024 + 0.5) in float64 (identical
+        # IEEE ops to numpy), assign to the nearest of k = max(8, N//256)
+        # deterministic seeds (vec_ids j*(N//k)) by int64 squared-L2 with
+        # lowest-seed tie-break, then flag any vector whose int64-exact
+        # cosine to an earlier same-cluster vector is >= 0.4
+        # (dot > 0 AND 25*dot^2 >= 4*|u|^2*|v|^2)
+        "semantic_dedup": """
+            WITH params AS (
+              SELECT count(*) AS n, GREATEST(8, count(*) // 256) AS k
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id, i,
+                     CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                                * 1024 + 0.5) AS BIGINT) AS v
+              FROM (SELECT vec_id, embedding,
+                           UNNEST(generate_series(1, len(embedding))) AS i
+                    FROM embeddings)
+            ),
+            seeds AS (
+              SELECT UNNEST(generate_series(0, k - 1)) AS seed_j,
+                     n // k AS step
+              FROM params
+            ),
+            seed_q AS (
+              SELECT s.seed_j, q.i, q.v
+              FROM seeds s JOIN q ON q.vec_id = s.seed_j * s.step
+            ),
+            norms AS (SELECT vec_id, SUM(v*v) AS n2 FROM q GROUP BY 1),
+            seed_norms AS (
+              SELECT seed_j, SUM(v*v) AS n2 FROM seed_q GROUP BY 1
+            ),
+            dots AS (
+              SELECT q.vec_id, sq.seed_j, SUM(q.v * sq.v) AS dot
+              FROM q JOIN seed_q sq USING (i) GROUP BY 1, 2
+            ),
+            assign AS (
+              SELECT d.vec_id, d.seed_j AS cluster_id
+              FROM dots d JOIN seed_norms sn USING (seed_j)
+              QUALIFY ROW_NUMBER() OVER (
+                  PARTITION BY d.vec_id
+                  ORDER BY (sn.n2 - 2*d.dot), d.seed_j) = 1
+            ),
+            pair_dots AS (
+              SELECT a.vec_id AS u, b.vec_id AS w, SUM(qa.v * qb.v) AS dot
+              FROM assign a
+              JOIN assign b ON a.cluster_id = b.cluster_id
+                           AND a.vec_id < b.vec_id
+              JOIN q qa ON qa.vec_id = a.vec_id
+              JOIN q qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+              GROUP BY 1, 2
+            ),
+            dup AS (
+              SELECT p.w AS vec_id
+              FROM pair_dots p
+              JOIN norms nu ON nu.vec_id = p.u
+              JOIN norms nv ON nv.vec_id = p.w
+              WHERE p.dot > 0 AND 25 * p.dot * p.dot >= 4 * nu.n2 * nv.n2
+              GROUP BY 1
+            )
+            SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+                   (d.vec_id IS NOT NULL) AS is_dup
+            FROM assign a LEFT JOIN dup d USING (vec_id)
         """,
     }

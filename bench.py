@@ -123,7 +123,10 @@ def run_queries() -> dict:
               "vocab_topk", "text_index_lookup", "lm_quality_score",
               "paragraph_dedup", "token_budget_select", "c4_line_filter",
               "shard_shuffle", "source_stats", "mixture_sample",
-              "curate_pretrain"]
+              "curate_pretrain",
+              # r4 web-graph / container / semantic ops
+              "link_graph", "html_title_extract", "semantic_dedup",
+              "warc_source_counts"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -1,0 +1,79 @@
+"""Link-graph / title extraction over the planted pages corpus."""
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from text_extraction_system_ray.config import PipelineConfig
+from text_extraction_system_ray.functions.html_extract import (
+    extract_html, parse_html_blocks)
+from text_extraction_system_ray.pipelines.links import (
+    _INTERNAL_RE, _scan_batch, title_of_payload)
+from text_extraction_system_ray.sources.pages import (
+    doc_to_page_html, synth_pages)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"]).to_pylist()
+
+
+def test_title_fast_path_matches_block_parser():
+    """The regex title fast path must equal the frozen parser's H7
+    capture on every corpus page, including entity / whitespace cases."""
+    cfg = PipelineConfig()
+    total = len(_docs())
+    for d in _docs():
+        payload = doc_to_page_html(d["doc_id"], d["text"] or "",
+                                   d["source"], total=total)
+        _, title, _ = parse_html_blocks(
+            payload.decode("utf-8"), cfg)
+        assert title_of_payload(payload) == title, d["doc_id"]
+    # synthetic edge cases
+    for html, want in [
+        (b"<html><head><title> A &amp;\n B </title></head></html>", "A & B"),
+        (b"<html><head><title></title></head><body>x</body></html>", None),
+        (b"<html><body>no title</body></html>", None),
+    ]:
+        _, title, _ = parse_html_blocks(html.decode(), cfg)
+        assert title_of_payload(html) == title == want
+
+
+def test_planted_links_are_boilerplate_stripped():
+    """The related-links nav must NOT leak into the extracted text (the
+    byte-identity extraction contract predates the plant)."""
+    cfg = PipelineConfig()
+    docs = _docs()
+    total = len(docs)
+    for d in docs[:40]:
+        without = doc_to_page_html(d["doc_id"], d["text"] or "", d["source"])
+        with_links = doc_to_page_html(d["doc_id"], d["text"] or "",
+                                      d["source"], total=total)
+        if d["doc_id"] % 53 == 11 or d["doc_id"] % 41 == 7:
+            continue
+        kb0, t0, tb0 = extract_html(without, cfg)
+        kb1, t1, tb1 = extract_html(with_links, cfg)
+        assert [b.text for b in kb0] == [b.text for b in kb1], d["doc_id"]
+        assert t0 == t1
+        assert len(tb0) == len(tb1)
+
+
+def test_scan_batch_counts():
+    import pyarrow as pa
+    total = 100
+    payload = doc_to_page_html(13, "w1 w2 w3 w4", "web", total=total)
+    t = pa.table({"url": ["https://example.org/web/00000013"],
+                  "html": [payload]})
+    s = _scan_batch(t)
+    assert s["n_int"][0] == 1 + 13 % 5
+    assert s["n_ext"][0] == 6
+    want = sorted((13 * 31 + 97 * j) % total for j in range(1, 2 + 13 % 5))
+    assert sorted(s["targets"].tolist()) == want
+
+
+def test_internal_href_regex_strict():
+    assert _INTERNAL_RE.match(b"/doc/00000042")
+    assert not _INTERNAL_RE.match(b"/doc/42")
+    assert not _INTERNAL_RE.match(b"/docs/00000042")
+    assert not _INTERNAL_RE.match(b"/doc/00000042#frag")

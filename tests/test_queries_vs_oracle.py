@@ -87,6 +87,9 @@ def test_all_queries_run(entrymod):
     "paragraph_dedup", "token_budget_select", "c4_line_filter",
     "image_features_summary", "shard_shuffle", "source_stats",
     "mixture_sample", "curate_pretrain", "corpus_split", "pagerank_topk",
+    # r4 web-graph / container / semantic additions
+    "link_graph", "outlink_stats", "html_title_extract",
+    "warc_source_counts", "semantic_dedup",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

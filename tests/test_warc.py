@@ -1,0 +1,63 @@
+"""WARC container source: byte-exact round-trip + member independence."""
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from text_extraction_system_ray.sources.warc import (
+    _gzip_member, build_record, parse_warc, read_warc, write_warc)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_record_roundtrip_binary_payloads():
+    rows = [
+        ("https://example.org/web/00000001", dt.datetime(2021, 1, 1, 0, 0, 1),
+         b"<html><body>hi</body></html>"),
+        # binary payload with CRLFs, NULs and a fake WARC/ header inside
+        ("https://example.org/pdf/00000002", dt.datetime(2021, 1, 1, 0, 0, 2),
+         b"%PDF-1.4\r\n\r\nWARC/1.0\r\n\x00\xff binary \r\n\r\n%%EOF"),
+        ("https://example.org/web/00000003", dt.datetime(2021, 1, 1, 0, 0, 3),
+         b""),
+    ]
+    blob = b"".join(_gzip_member(build_record(u, ts, p)) for u, ts, p in rows)
+    t = parse_warc(blob)
+    assert t.num_rows == 3
+    assert t.column("url").to_pylist() == [r[0] for r in rows]
+    assert t.column("warc_ts").to_pylist() == [r[1] for r in rows]
+    assert t.column("html").to_pylist() == [r[2] for r in rows]
+
+
+def test_member_boundary_resume():
+    """Each record is its own gzip member: parsing a suffix of the shard
+    (starting at any member boundary) yields exactly the tail records —
+    the property Common-Crawl range requests rely on."""
+    members = [_gzip_member(build_record(f"https://e.org/w/{i:08d}",
+                                         dt.datetime(2021, 1, 1), b"x" * i))
+               for i in range(4)]
+    tail = parse_warc(b"".join(members[2:]))
+    assert tail.num_rows == 2
+    assert tail.column("html").to_pylist() == [b"xx", b"xxx"]
+
+
+def test_uncompressed_warc_accepted():
+    raw = build_record("u1", dt.datetime(2021, 1, 1), b"abc") + \
+        build_record("u2", dt.datetime(2021, 1, 2), b"defg")
+    t = parse_warc(raw)
+    assert t.column("html").to_pylist() == [b"abc", b"defg"]
+
+
+def test_pages_roundtrip_through_warc(ray_session, tmp_path):
+    """synth pages → shards → read_warc == original (url, warc_ts, html)."""
+    from text_extraction_system_ray.sources.pages import synth_pages
+
+    orig = {r["url"]: (r["warc_ts"], r["html"])
+            for r in synth_pages(SF).take_all()}
+    paths = write_warc(synth_pages(SF), str(tmp_path / "warc"))
+    assert paths and all(p.endswith(".warc.gz") for p in paths)
+    back = read_warc(paths).take_all()
+    assert len(back) == len(orig)
+    for r in back:
+        ts, payload = orig[r["url"]]
+        assert r["warc_ts"] == ts, r["url"]
+        assert r["html"] == (payload or b""), r["url"]

@@ -1,0 +1,164 @@
+"""Link-graph extraction over the Common-Crawl-style pages corpus.
+
+Crawl curation needs the hyperlink structure of the corpus (PageRank
+seeds, spam-domain discovery, anchor-text mining — the reference's
+text-extraction scope stops at per-document text, but every production
+crawl pipeline pairs it with a link extractor over the same pages
+table). Reference analog: the per-document parse loop in
+``data_extract/data_extract.py:51-204`` — here the parse target is the
+``<a href>`` edge set instead of the text layer.
+
+Design (Ray-Data-first, zero shuffle until the final tiny aggregate):
+
+  pages ──map_batches──▶ per-batch href scan (compiled bytes regex, no
+          utf-8 decode of the payload) ──▶ PARTIAL in-degree counts per
+          target doc (np.unique combiner inside the batch)
+        ──groupby(target).sum──▶ global in-degree table.
+
+The combiner means the shuffle moves one row per *distinct* target per
+batch (≪ one row per edge); at 10^12 pages the exchanged volume is the
+distinct-target count, the same shape as the vocab_topk plan.
+
+The synthetic corpus plants, for every HTML page, ``1 + doc_id % 5``
+"related" links to targets ``(doc_id * 31 + 97 * j) % n_docs`` inside a
+``<nav class="related">`` container (boilerplate — stripped from the
+extracted text, so the byte-identity extraction contract is untouched).
+The DuckDB oracle regenerates the exact edge set with a lateral series
+join, making both queries hash-checked end-to-end.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..sources.pages import synth_pages
+
+# href scanner over the RAW bytes payload (no decode): double- or
+# single-quoted attribute value. Attribute-value entity decoding is not
+# needed for the /doc/ namespace (digits only); external links are only
+# counted, not resolved.
+_HREF_RE = re.compile(rb"""href\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
+_INTERNAL_RE = re.compile(rb"^/doc/(\d{8})$")
+
+
+def _scan_batch(t: pa.Table) -> dict:
+    """Extract hrefs from one Arrow batch. Returns (doc_ids, per-doc
+    internal/external counts, flat internal-target array)."""
+    urls = t.column("url").to_pylist()
+    payloads = t.column("html").to_pylist()
+    n = len(urls)
+    doc_ids = np.fromiter((int(u[-8:]) for u in urls), np.int64, n)
+    n_int = np.zeros(n, np.int64)
+    n_ext = np.zeros(n, np.int64)
+    targets: list = []
+    for i, payload in enumerate(payloads):
+        if not payload or not payload.startswith(b"<html"):
+            continue
+        ints = 0
+        exts = 0
+        for m in _HREF_RE.finditer(payload):
+            href = m.group(1) if m.group(1) is not None else m.group(2)
+            im = _INTERNAL_RE.match(href)
+            if im:
+                ints += 1
+                targets.append(int(im.group(1)))
+            else:
+                exts += 1
+        n_int[i] = ints
+        n_ext[i] = exts
+    return {"doc_ids": doc_ids, "n_int": n_int, "n_ext": n_ext,
+            "targets": np.asarray(targets, np.int64)}
+
+
+def _indegree_partials(t: pa.Table) -> pa.Table:
+    """Combiner: batch → one row per DISTINCT target (pre-aggregation
+    before the groupby, so the shuffle moves counts, not edges)."""
+    s = _scan_batch(t)
+    tgt, cnt = np.unique(s["targets"], return_counts=True)
+    return pa.table({"target_doc_id": pa.array(tgt, pa.int64()),
+                     "partial": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def link_graph(sf_dir: str) -> ray.data.Dataset:
+    """Global in-degree per linked-to document: (target_doc_id, indegree)."""
+    ds = synth_pages(sf_dir)
+    partials = ds.map_batches(_indegree_partials, batch_format="pyarrow")
+    agg = partials.groupby("target_doc_id").sum("partial")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "target_doc_id": t.column("target_doc_id"),
+            "indegree": t.column("sum(partial)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _outlink_batch(t: pa.Table) -> pa.Table:
+    s = _scan_batch(t)
+    keep = (s["n_int"] + s["n_ext"]) > 0
+    return pa.table({
+        "doc_id": pa.array(s["doc_ids"][keep], pa.int64()),
+        "n_internal": pa.array(s["n_int"][keep], pa.int64()),
+        "n_external": pa.array(s["n_ext"][keep], pa.int64()),
+    })
+
+
+def outlink_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-HTML-page outlink counts: (doc_id, n_internal, n_external).
+
+    Embarrassingly parallel — no shuffle at all; the oracle recomputes
+    both counts from doc_id arithmetic (internal = 1 + doc_id % 5,
+    external = the 6 static boilerplate links)."""
+    ds = synth_pages(sf_dir)
+    return ds.map_batches(_outlink_batch, batch_format="pyarrow")
+
+
+# --- title extraction --------------------------------------------------
+# Fast single-purpose scanner; pinned equal to the frozen block parser's
+# title capture (functions/html_extract.py rule H7) in
+# tests/test_links.py on every corpus family.
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+# the FROZEN whitespace/control rules (H5) — imported, not copied, so the
+# fast path can never drift from the block parser
+from ..functions.html_extract import _CTRL_RE, _WS_RE  # noqa: E402
+
+
+def title_of_payload(payload: bytes) -> str | None:
+    """Title fast path: first <title> element, entity-decoded, whitespace
+    collapsed exactly as rule H5/H7 does."""
+    m = _TITLE_RE.search(payload)
+    if m is None:
+        return None
+    import html as _html
+    raw = m.group(1).decode("utf-8", errors="replace")
+    if "&" in raw:
+        raw = _html.unescape(raw)
+    out = _WS_RE.sub(" ", _CTRL_RE.sub("", raw)).strip()
+    return out or None
+
+
+def _title_batch(t: pa.Table) -> pa.Table:
+    urls = t.column("url").to_pylist()
+    payloads = t.column("html").to_pylist()
+    ids, titles = [], []
+    for u, payload in zip(urls, payloads):
+        if not payload or not payload.startswith(b"<html"):
+            continue
+        title = title_of_payload(payload)
+        if title is not None:
+            ids.append(int(u[-8:]))
+            titles.append(title)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "title": pa.array(titles, pa.string())})
+
+
+def html_title_extract(sf_dir: str) -> ray.data.Dataset:
+    """Per-row STRING parity with the oracle: (doc_id, title) for every
+    HTML page — the value hash covers the title bytes themselves, so a
+    wrong entity decode / whitespace rule breaks the match."""
+    ds = synth_pages(sf_dir)
+    return ds.map_batches(_title_batch, batch_format="pyarrow")

