@@ -127,10 +127,14 @@ def _warc_source_counts(sf_dir: str) -> ray.data.Dataset:
 
     import pyarrow.compute as pc
 
+    from text_extraction_system_ray.sources.pages import (pages_parquet,
+                                                          read_pages)
     from text_extraction_system_ray.sources.warc import read_warc, write_warc
 
     out_dir = tempfile.mkdtemp(prefix="tes_ray_warc_")
-    paths = write_warc(synth_pages(sf_dir), out_dir)
+    pages = read_pages(pages_parquet(sf_dir),
+                       columns=["url", "warc_ts", "html"])
+    paths = write_warc(pages, out_dir)
     ds = read_warc(paths)
 
     def census(t: pa.Table) -> pa.Table:

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..sources.pages import synth_pages
+from ..sources.pages import pages_parquet, read_pages
 
 # href scanner over the RAW bytes payload (no decode): double- or
 # single-quoted attribute value. Attribute-value entity decoding is not
@@ -82,9 +82,16 @@ def _indegree_partials(t: pa.Table) -> pa.Table:
                      "partial": pa.array(cnt.astype(np.int64), pa.int64())})
 
 
+def _pages(sf_dir: str) -> ray.data.Dataset:
+    """Pages table, pruned at the read to the two columns the link ops
+    consume (url + payload) — a full-width read for a 2-column scan is
+    wrong at crawl scale."""
+    return read_pages(pages_parquet(sf_dir), columns=["url", "html"])
+
+
 def link_graph(sf_dir: str) -> ray.data.Dataset:
     """Global in-degree per linked-to document: (target_doc_id, indegree)."""
-    ds = synth_pages(sf_dir)
+    ds = _pages(sf_dir)
     partials = ds.map_batches(_indegree_partials, batch_format="pyarrow")
     agg = partials.groupby("target_doc_id").sum("partial")
 
@@ -113,7 +120,7 @@ def outlink_stats(sf_dir: str) -> ray.data.Dataset:
     Embarrassingly parallel — no shuffle at all; the oracle recomputes
     both counts from doc_id arithmetic (internal = 1 + doc_id % 5,
     external = the 6 static boilerplate links)."""
-    ds = synth_pages(sf_dir)
+    ds = _pages(sf_dir)
     return ds.map_batches(_outlink_batch, batch_format="pyarrow")
 
 
@@ -160,5 +167,5 @@ def html_title_extract(sf_dir: str) -> ray.data.Dataset:
     """Per-row STRING parity with the oracle: (doc_id, title) for every
     HTML page — the value hash covers the title bytes themselves, so a
     wrong entity decode / whitespace rule breaks the match."""
-    ds = synth_pages(sf_dir)
+    ds = _pages(sf_dir)
     return ds.map_batches(_title_batch, batch_format="pyarrow")

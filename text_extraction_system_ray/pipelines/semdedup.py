@@ -71,28 +71,28 @@ def _seed_matrix(path: str, n: int, k: int) -> np.ndarray:
     return _quantize(_emb_matrix(t)[order])
 
 
-class AssignCluster:
-    """Actor-pool stage: nearest seed by int64 squared-L2, tie → lowest
-    seed index (np.argmin's first-minimum rule == the oracle's
-    ORDER BY dist, seed_j LIMIT 1)."""
-
-    def __init__(self, seeds_ref):
-        self.seeds = ray.get(seeds_ref)                    # (k, d) int64
-        self.seed_norms = (self.seeds * self.seeds).sum(axis=1)
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        q = _quantize(_emb_matrix(t))
-        norms = (q * q).sum(axis=1)
-        # |q - s|² = |q|² - 2 q·s + |s|²; |q|² constant per row → argmin
-        # over (-2 q·s + |s|²)
-        d2 = -2 * (q @ self.seeds.T) + self.seed_norms[None, :]
-        cluster = np.argmin(d2, axis=1).astype(np.int64)
-        return pa.table({
-            "vec_id": t.column("vec_id").cast(pa.int64()),
-            "cluster_id": pa.array(cluster, pa.int64()),
-            "qnorm": pa.array(norms, pa.int64()),
-            "qvec": pa.array(list(q), pa.list_(pa.int64())),
-        })
+def _assign_batch(t: pa.Table, seeds_ref) -> pa.Table:
+    """Nearest seed by int64 squared-L2, tie → lowest seed index
+    (np.argmin's first-minimum rule == the oracle's ORDER BY dist,
+    seed_j LIMIT 1). The seed matrix is a single broadcast object-store
+    ref — ``ray.get`` here is a zero-copy read, not a re-ship — and the
+    stage is a plain task pool (no model-sized state to justify actor
+    startup; at k in the millions, switch to an actor pool holding the
+    seed shards)."""
+    seeds = ray.get(seeds_ref)                             # (k, d) int64
+    seed_norms = (seeds * seeds).sum(axis=1)
+    q = _quantize(_emb_matrix(t))
+    norms = (q * q).sum(axis=1)
+    # |q - s|² = |q|² - 2 q·s + |s|²; |q|² constant per row → argmin
+    # over (-2 q·s + |s|²)
+    d2 = -2 * (q @ seeds.T) + seed_norms[None, :]
+    cluster = np.argmin(d2, axis=1).astype(np.int64)
+    return pa.table({
+        "vec_id": t.column("vec_id").cast(pa.int64()),
+        "cluster_id": pa.array(cluster, pa.int64()),
+        "qnorm": pa.array(norms, pa.int64()),
+        "qvec": pa.array(list(q), pa.list_(pa.int64())),
+    })
 
 
 def _prune_cluster(g: pd.DataFrame) -> pd.DataFrame:
@@ -124,11 +124,13 @@ def semantic_dedup(sf_dir: str) -> ray.data.Dataset:
     path = f"{sf_dir}/embeddings.parquet"
     n = pq.ParquetFile(path).metadata.num_rows
     k = max(MIN_K, n // TARGET_CLUSTER)
+    import functools
+
     seeds_ref = ray.put(_seed_matrix(path, n, k))
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-    assigned = ds.map_batches(AssignCluster, batch_size=1024, concurrency=2,
-                              batch_format="pyarrow",
-                              fn_constructor_args=(seeds_ref,))
+    assigned = ds.map_batches(
+        functools.partial(_assign_batch, seeds_ref=seeds_ref),
+        batch_size=1024, batch_format="pyarrow")
     out = assigned.groupby("cluster_id").map_groups(
         _prune_cluster, batch_format="pandas")
 

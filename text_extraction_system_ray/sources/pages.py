@@ -19,6 +19,7 @@ Payload mix (frozen, keyed off doc_id):
 from __future__ import annotations
 
 import datetime as _dt
+import os
 from typing import List, Optional
 
 import pyarrow as pa
@@ -137,3 +138,32 @@ def write_synth_pages(sf_dir: str, out_dir: str) -> str:
     """Materialize the synthetic pages corpus to Parquet (bench input)."""
     synth_pages(sf_dir).write_parquet(out_dir)
     return out_dir
+
+
+def pages_parquet(sf_dir: str) -> str:
+    """Materialized pages table for ``sf_dir`` (cached under /tmp).
+
+    The input contract (BASELINE.json ``input_hint``) is a *Parquet
+    pages table* — in production every operator READS it; only this
+    sandbox synthesizes it from ``documents``. Ops that consume pages
+    (link graph, WARC export, title extraction) read this one-time
+    materialization so their measured cost is the operator, not
+    fixture generation (same rationale as bench.py's corpus cache).
+    Cache key = corpus path + row count + source file mtime."""
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    n = pq.ParquetFile(src).metadata.num_rows
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"-{n}-{int(st.st_mtime)}")
+    out = os.path.join("/tmp/tes_ray_pages", tag)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    synth_pages(sf_dir).write_parquet(out)
+    open(marker, "w").close()
+    return out
