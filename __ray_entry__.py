@@ -45,6 +45,7 @@ from text_extraction_system_ray.pipelines import substr as _substr
 from text_extraction_system_ray.pipelines import textindex as _tix
 from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines import urlstats as _url
+from text_extraction_system_ray.pipelines import charset as _charset
 from text_extraction_system_ray.pipelines import links as _links
 from text_extraction_system_ray.pipelines import semdedup as _sem
 from text_extraction_system_ray.pipelines.extraction import extract_dataset
@@ -358,6 +359,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDedup-style semantic dedup (cluster → in-cluster prune),
         # integer-exact end to end so the oracle is bit-for-bit
         "semantic_dedup": _sem.semantic_dedup,
+        # head-metadata extraction: per-row string parity on
+        # (description, canonical) — attr-order-insensitive parse
+        "meta_extract": _links.meta_extract,
+        # anchor-text mining: pair combiner → two standard hash
+        # aggregates (no per-tiny-group Python)
+        "anchor_text_stats": _links.anchor_text_stats,
+        # charset sniff + decode (BOM > meta prescan > utf-8; the utf-16
+        # fixtures carry a lying meta to prove precedence)
+        "charset_decode": _charset.charset_decode,
     }
 
 
@@ -1638,7 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "outlink_stats": """
             SELECT doc_id, CAST(1 + doc_id % 5 AS BIGINT) AS n_internal,
-                   CAST(6 AS BIGINT) AS n_external
+                   CAST(7 AS BIGINT) AS n_external
             FROM documents
             WHERE doc_id % 53 <> 11 AND doc_id % 41 <> 7
         """,
@@ -1723,5 +1733,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
                    (d.vec_id IS NOT NULL) AS is_dup
             FROM assign a LEFT JOIN dup d USING (vec_id)
+        """,
+        "meta_extract": """
+            SELECT doc_id,
+                   'Summary of doc ' || CAST(doc_id AS VARCHAR) || ' from '
+                       || source AS description,
+                   'https://example.org/' || source || '/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS canonical
+            FROM documents
+            WHERE doc_id % 53 <> 11 AND doc_id % 41 <> 7
+        """,
+        "anchor_text_stats": """
+            WITH params AS (SELECT count(*) AS total FROM documents),
+            edges AS (
+                SELECT (d.doc_id * 31 + 97 * j.j) % p.total AS target_doc_id,
+                       'Related ' || CAST(j.j AS VARCHAR) AS anchor
+                FROM documents d CROSS JOIN params p
+                JOIN range(1, 6) j(j) ON j.j <= 1 + d.doc_id % 5
+                WHERE d.doc_id % 53 <> 11 AND d.doc_id % 41 <> 7)
+            SELECT target_doc_id,
+                   count(*) AS n_inbound,
+                   count(DISTINCT anchor) AS n_distinct_anchors,
+                   min(anchor) AS top_anchor
+            FROM edges GROUP BY 1
+        """,
+        "charset_decode": """
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                                   WHEN 1 THEN 'utf-16-le'
+                                   WHEN 2 THEN 'utf-16-be'
+                                   ELSE 'cp1252' END AS charset,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' charset test ('
+                       || source || ') ' || chr(8364) AS text
+            FROM documents
         """,
     }

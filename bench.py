@@ -35,7 +35,9 @@ def log(msg: str) -> None:
 
 def corpus_dir() -> str:
     """Build (once, cached) the replicated pages corpus for SF_DIR."""
-    tag = f"{os.path.basename(os.path.normpath(SF_DIR))}-x{REPL}"
+    from text_extraction_system_ray.sources.pages import PAGES_FIXTURE_VERSION
+    tag = (f"{os.path.basename(os.path.normpath(SF_DIR))}-x{REPL}"
+           f"-v{PAGES_FIXTURE_VERSION}")
     out = os.path.join(CACHE_ROOT, f"pages-{tag}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
@@ -126,7 +128,8 @@ def run_queries() -> dict:
               "curate_pretrain",
               # r4 web-graph / container / semantic ops
               "link_graph", "html_title_extract", "semantic_dedup",
-              "warc_source_counts"]
+              "warc_source_counts", "anchor_text_stats", "meta_extract",
+              "charset_decode"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

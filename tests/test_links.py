@@ -67,7 +67,7 @@ def test_scan_batch_counts():
                   "html": [payload]})
     s = _scan_batch(t)
     assert s["n_int"][0] == 1 + 13 % 5
-    assert s["n_ext"][0] == 6
+    assert s["n_ext"][0] == 7   # 6 boilerplate anchors + canonical link
     want = sorted((13 * 31 + 97 * j) % total for j in range(1, 2 + 13 % 5))
     assert sorted(s["targets"].tolist()) == want
 

@@ -119,7 +119,7 @@ def outlink_stats(sf_dir: str) -> ray.data.Dataset:
 
     Embarrassingly parallel — no shuffle at all; the oracle recomputes
     both counts from doc_id arithmetic (internal = 1 + doc_id % 5,
-    external = the 6 static boilerplate links)."""
+    external = the 6 static boilerplate anchors + the canonical link)."""
     ds = _pages(sf_dir)
     return ds.map_batches(_outlink_batch, batch_format="pyarrow")
 
@@ -169,3 +169,122 @@ def html_title_extract(sf_dir: str) -> ray.data.Dataset:
     wrong entity decode / whitespace rule breaks the match."""
     ds = _pages(sf_dir)
     return ds.map_batches(_title_batch, batch_format="pyarrow")
+
+
+# --- head metadata extraction ------------------------------------------
+# Generic void-tag attribute scan (the block parser only materializes
+# attrs when a boilerplate-relevant key is present; head metadata needs
+# the full attr map, so this path parses them with the same grammar).
+_META_TAG_RE = re.compile(rb"<(meta|link)\b([^>]*)>", re.IGNORECASE)
+_ATTR_B_RE = re.compile(
+    rb"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*"
+    rb"(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))")
+
+
+def meta_of_payload(payload: bytes) -> dict:
+    """Pull (description, canonical) out of head metadata. Attribute
+    order-insensitive; first match wins (browser behavior)."""
+    out = {"description": None, "canonical": None}
+    for m in _META_TAG_RE.finditer(payload):
+        tag = m.group(1).lower()
+        attrs = {}
+        for am in _ATTR_B_RE.finditer(m.group(2)):
+            v = am.group(2) or am.group(3) or am.group(4) or b""
+            attrs[am.group(1).lower()] = v
+        if (tag == b"meta" and out["description"] is None
+                and attrs.get(b"name", b"").lower() == b"description"):
+            out["description"] = attrs.get(b"content", b"").decode(
+                "utf-8", errors="replace")
+        elif (tag == b"link" and out["canonical"] is None
+                and attrs.get(b"rel", b"").lower() == b"canonical"):
+            out["canonical"] = attrs.get(b"href", b"").decode(
+                "utf-8", errors="replace")
+        if out["description"] is not None and out["canonical"] is not None:
+            break
+    return out
+
+
+def _meta_batch(t: pa.Table) -> pa.Table:
+    urls = t.column("url").to_pylist()
+    payloads = t.column("html").to_pylist()
+    ids, descs, canons = [], [], []
+    for u, payload in zip(urls, payloads):
+        if not payload or not payload.startswith(b"<html"):
+            continue
+        m = meta_of_payload(payload)
+        if m["description"] is None and m["canonical"] is None:
+            continue
+        ids.append(int(u[-8:]))
+        descs.append(m["description"])
+        canons.append(m["canonical"])
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "description": pa.array(descs, pa.string()),
+                     "canonical": pa.array(canons, pa.string())})
+
+
+def meta_extract(sf_dir: str) -> ray.data.Dataset:
+    """Per-row STRING parity for head metadata: (doc_id, description,
+    canonical) — the hash covers both strings byte-for-byte."""
+    return _pages(sf_dir).map_batches(_meta_batch, batch_format="pyarrow")
+
+
+# --- anchor-text aggregation -------------------------------------------
+# Anchor text is the classic web ranking/mining signal; here the planted
+# internal links carry text 'Related j'. Plan: per-batch (target,
+# anchor) distinct partials -> multi-key groupby sum (exact pair
+# counts) -> standard-aggregate groupby on target (Count rows = distinct
+# anchors, Sum = inbound, Min = lexicographic top anchor). Both wide
+# steps are plain hash aggregates over combiner-compressed rows — no
+# per-tiny-group Python.
+_A_INNER_RE = re.compile(
+    rb"""<a\s[^>]*href\s*=\s*(?:"([^"]*)"|'([^']*)')[^>]*>(.*?)</a>""",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _anchor_pairs_batch(t: pa.Table) -> pa.Table:
+    import html as _html
+    payloads = t.column("html").to_pylist()
+    pairs: dict = {}
+    for payload in payloads:
+        if not payload or not payload.startswith(b"<html"):
+            continue
+        for m in _A_INNER_RE.finditer(payload):
+            href = m.group(1) if m.group(1) is not None else m.group(2)
+            im = _INTERNAL_RE.match(href)
+            if im is None:
+                continue
+            raw = m.group(3).decode("utf-8", errors="replace")
+            if "&" in raw:
+                raw = _html.unescape(raw)
+            anchor = _WS_RE.sub(" ", _CTRL_RE.sub("", raw)).strip()
+            key = (int(im.group(1)), anchor)
+            pairs[key] = pairs.get(key, 0) + 1
+    if not pairs:
+        return pa.table({"target_doc_id": pa.array([], pa.int64()),
+                         "anchor": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    tgt, anc = zip(*pairs.keys())
+    return pa.table({"target_doc_id": pa.array(tgt, pa.int64()),
+                     "anchor": pa.array(anc, pa.string()),
+                     "cnt": pa.array(list(pairs.values()), pa.int64())})
+
+
+def anchor_text_stats(sf_dir: str) -> ray.data.Dataset:
+    """(target_doc_id, n_inbound, n_distinct_anchors, top_anchor)."""
+    import ray.data.aggregate as agg
+
+    pairs = _pages(sf_dir).map_batches(_anchor_pairs_batch,
+                                       batch_format="pyarrow")
+    exact = pairs.groupby(["target_doc_id", "anchor"]).sum("cnt")
+    out = exact.groupby("target_doc_id").aggregate(
+        agg.Sum("sum(cnt)"), agg.Count(), agg.Min("anchor"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "target_doc_id": t.column("target_doc_id"),
+            "n_inbound": t.column("sum(sum(cnt))").cast(pa.int64()),
+            "n_distinct_anchors": t.column("count()").cast(pa.int64()),
+            "top_anchor": t.column("min(anchor)"),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")

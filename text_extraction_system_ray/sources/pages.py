@@ -30,6 +30,10 @@ from ..schema import PAGES_SCHEMA
 
 _EPOCH = _dt.datetime(2021, 1, 1)
 
+# bump whenever the synthesized payload bytes change — keys the /tmp
+# materialization caches (pages_parquet here, corpus_dir in bench.py)
+PAGES_FIXTURE_VERSION = 2
+
 _NAV = ('<nav class="menu"><a href="/">Home</a> <a href="/news">News</a> '
         '<a href="/about">About</a> <a href="/contact">Contact</a></nav>')
 _FOOTER = ('<footer>Copyright 2021 Example Corp. <a href="/terms">Terms</a> '
@@ -72,7 +76,14 @@ def doc_to_page_html(doc_id: int, text: str, source: str,
             f"Related {j}</a> "
             for j in range(1, 2 + doc_id % 5))
         related = f'<nav class="related">{anchors}</nav>'
-    html = (f"<html><head><title>Doc {doc_id} ({source})</title></head><body>"
+    # head metadata (no block text — extraction output is unchanged):
+    # description + canonical, the meta_extract fixture
+    head = (f"<title>Doc {doc_id} ({source})</title>"
+            f'<meta name="description" '
+            f'content="Summary of doc {doc_id} from {source}">'
+            f'<link rel="canonical" '
+            f'href="https://example.org/{source}/{doc_id:08d}">')
+    html = (f"<html><head>{head}</head><body>"
             f"{_NAV}<article>{''.join(body)}</article>{related}{_FOOTER}"
             f"</body></html>")
     return html.encode("utf-8")
@@ -156,14 +167,25 @@ def pages_parquet(sf_dir: str) -> str:
     st = os.stat(src)
     n = pq.ParquetFile(src).metadata.num_rows
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
-           f"-{n}-{int(st.st_mtime)}")
+           f"-{n}-{int(st.st_mtime)}-v{PAGES_FIXTURE_VERSION}")
     out = os.path.join("/tmp/tes_ray_pages", tag)
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
     import shutil
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    synth_pages(sf_dir).write_parquet(out)
-    open(marker, "w").close()
+    # build in a private dir, publish with an atomic rename — two
+    # processes racing here (driver + pytest) each build their own copy
+    # and exactly one wins; the loser discards
+    tmp = f"{out}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    synth_pages(sf_dir).write_parquet(tmp)
+    open(os.path.join(tmp, "_DONE"), "w").close()
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):        # stale partial dir: replace
+            shutil.rmtree(out, ignore_errors=True)
+            return pages_parquet(sf_dir)
     return out
