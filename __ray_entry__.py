@@ -46,6 +46,7 @@ from text_extraction_system_ray.pipelines import textindex as _tix
 from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines import urlstats as _url
 from text_extraction_system_ray.pipelines import charset as _charset
+from text_extraction_system_ray.pipelines import urldedup as _urldedup
 from text_extraction_system_ray.pipelines import links as _links
 from text_extraction_system_ray.pipelines import semdedup as _sem
 from text_extraction_system_ray.pipelines.extraction import extract_dataset
@@ -368,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # charset sniff + decode (BOM > meta prescan > utf-8; the utf-16
         # fixtures carry a lying meta to prove precedence)
         "charset_decode": _charset.charset_decode,
+        # URL-canonicalization dedup (frontier hygiene): vectorized
+        # N1-N5 normalization, one groupby on the normalized string
+        "url_dedup": _urldedup.url_dedup,
     }
 
 
@@ -1766,5 +1770,28 @@ def oracle_sql() -> dict[str, str]:
                    'Doc ' || CAST(doc_id AS VARCHAR) || ' charset test ('
                        || source || ') ' || chr(8364) AS text
             FROM documents
+        """,
+        # raw-variant construction mirrored arithmetically; the value
+        # hash covers the normalized strings, so any broken rule
+        # (case, default port, fragment, tracking filter, param sort)
+        # breaks the match
+        "url_dedup": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     'https://example.org/' || source || '/' ||
+                     lpad(CAST(doc_id AS VARCHAR), 8, '0') AS canon
+              FROM documents),
+            rows_ AS (
+              SELECT canon AS normalized_url,
+                     (CASE WHEN doc_id % 10 <> 4 THEN 1 ELSE 0 END)
+                     + (CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END)
+                     + (CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS n
+              FROM d
+              UNION ALL
+              SELECT canon || '?a=' || CAST(doc_id % 7 AS VARCHAR)
+                     || '&b=' || CAST(doc_id % 3 AS VARCHAR), 1
+              FROM d WHERE doc_id % 10 = 4)
+            SELECT normalized_url, CAST(SUM(n) AS BIGINT) AS n_raw
+            FROM rows_ WHERE n > 0 GROUP BY 1
         """,
     }

@@ -1,0 +1,38 @@
+"""URL canonicalization rules N1-N5 (vectorized normalizer)."""
+import pyarrow as pa
+
+from text_extraction_system_ray.pipelines.urldedup import normalize_urls
+
+
+def _n(urls):
+    return normalize_urls(pa.array(urls, pa.string())).to_pylist()
+
+
+def test_case_and_default_port():
+    assert _n(["HTTPS://EXAMPLE.ORG:443/A/b"]) == ["https://example.org/A/b"]
+    assert _n(["HTTP://Example.Org:80/x"]) == ["http://example.org/x"]
+    # non-default port kept; path case preserved
+    assert _n(["https://example.org:8443/P"]) == ["https://example.org:8443/P"]
+    assert _n(["http://example.org:443/x"]) == ["http://example.org:443/x"]
+
+
+def test_fragment_dropped():
+    assert _n(["https://e.org/p#sec2"]) == ["https://e.org/p"]
+    assert _n(["https://e.org/p?a=1#sec"]) == ["https://e.org/p?a=1"]
+
+
+def test_tracking_params_dropped_and_sorted():
+    assert _n(["https://e.org/p?utm_source=x&b=2&a=1&fbclid=z"]) == \
+        ["https://e.org/p?a=1&b=2"]
+    assert _n(["https://e.org/p?gclid=1&utm_campaign=c&ref=tw"]) == \
+        ["https://e.org/p"]
+    # sort is lexicographic on the whole 'k=v' token
+    assert _n(["https://e.org/p?b=1&a=2&aa=3"]) == \
+        ["https://e.org/p?a=2&aa=3&b=1"]
+
+
+def test_empty_and_mixed_batch():
+    got = _n(["https://e.org/", "HTTPS://E.ORG:443/?utm_source=1",
+              "https://e.org/q?z=9&y=8"])
+    assert got == ["https://e.org/", "https://e.org/",
+                   "https://e.org/q?y=8&z=9"]
