@@ -46,6 +46,7 @@ from text_extraction_system_ray.pipelines import textindex as _tix
 from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines import urlstats as _url
 from text_extraction_system_ray.pipelines import charset as _charset
+from text_extraction_system_ray.pipelines import robots as _robots
 from text_extraction_system_ray.pipelines import urldedup as _urldedup
 from text_extraction_system_ray.pipelines import links as _links
 from text_extraction_system_ray.pipelines import semdedup as _sem
@@ -372,6 +373,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # URL-canonicalization dedup (frontier hygiene): vectorized
         # N1-N5 normalization, one groupby on the normalized string
         "url_dedup": _urldedup.url_dedup,
+        # RFC 9309 robots.txt evaluation: from-scratch parser (grouped
+        # records, wildcard/$ rules, longest-match + allow-tie,
+        # most-specific agent group), broadcast compiled rules,
+        # vectorized per-rule regex verdicts
+        "robots_filter": _robots.robots_filter,
     }
 
 
@@ -1793,5 +1799,15 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE doc_id % 10 = 4)
             SELECT normalized_url, CAST(SUM(n) AS BIGINT) AS n_raw
             FROM rows_ WHERE n > 0 GROUP BY 1
+        """,
+        # generic agent: Disallow /s/*0$ overridden by the longer
+        # Allow /s/*00$; specific agent group REPLACES the generic one
+        # (RFC 9309 no-merge rule) and blocks only *5$
+        "robots_filter": """
+            SELECT doc_id,
+                   (NOT (doc_id % 10 = 0 AND doc_id % 100 <> 0))
+                       AS allowed_generic,
+                   (doc_id % 10 <> 5) AS allowed_tesray
+            FROM documents
         """,
     }

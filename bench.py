@@ -129,7 +129,7 @@ def run_queries() -> dict:
               # r4 web-graph / container / semantic ops
               "link_graph", "html_title_extract", "semantic_dedup",
               "warc_source_counts", "anchor_text_stats", "meta_extract",
-              "charset_decode", "url_dedup"]
+              "charset_decode", "url_dedup", "robots_filter"]
     out = {}
     for name in picked:
         t0 = time.monotonic()
