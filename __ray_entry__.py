@@ -373,6 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # URL-canonicalization dedup (frontier hygiene): vectorized
         # N1-N5 normalization, one groupby on the normalized string
         "url_dedup": _urldedup.url_dedup,
+        # schema.org JSON-LD extraction: script-block scan + stdlib JSON
+        # parse; per-row parity on string AND integer fields
+        "jsonld_extract": _links.jsonld_extract,
         # RFC 9309 robots.txt evaluation: from-scratch parser (grouped
         # records, wildcard/$ rules, longest-match + allow-tie,
         # most-specific agent group), broadcast compiled rules,
@@ -1799,6 +1802,15 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE doc_id % 10 = 4)
             SELECT normalized_url, CAST(SUM(n) AS BIGINT) AS n_raw
             FROM rows_ WHERE n > 0 GROUP BY 1
+        """,
+        "jsonld_extract": """
+            SELECT doc_id,
+                   'Article' AS jsonld_type,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS headline,
+                   n_chars AS char_count,
+                   source AS publisher
+            FROM documents
+            WHERE doc_id % 53 <> 11 AND doc_id % 41 <> 7
         """,
         # generic agent: Disallow /s/*0$ overridden by the longer
         # Allow /s/*00$; specific agent group REPLACES the generic one

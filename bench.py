@@ -62,8 +62,9 @@ def corpus_dir() -> str:
             parts.append(p.set_column(0, "url", urls))
         return pa.concat_tables(parts)
 
-    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
-                               columns=["doc_id", "text", "lang", "source"])
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
     ds.map_batches(replicate, batch_format="pyarrow").write_parquet(out)
     open(marker, "w").close()
     return out
@@ -129,7 +130,8 @@ def run_queries() -> dict:
               # r4 web-graph / container / semantic ops
               "link_graph", "html_title_extract", "semantic_dedup",
               "warc_source_counts", "anchor_text_stats", "meta_extract",
-              "charset_decode", "url_dedup", "robots_filter"]
+              "charset_decode", "url_dedup", "robots_filter",
+              "jsonld_extract"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -77,3 +77,16 @@ def test_internal_href_regex_strict():
     assert not _INTERNAL_RE.match(b"/doc/42")
     assert not _INTERNAL_RE.match(b"/docs/00000042")
     assert not _INTERNAL_RE.match(b"/doc/00000042#frag")
+
+
+def test_jsonld_of_payload():
+    from text_extraction_system_ray.pipelines.links import jsonld_of_payload
+    p = doc_to_page_html(12, "w1 w2 w3", "web", total=50, n_chars=8)
+    obj = jsonld_of_payload(p)
+    assert obj == {"@type": "Article", "headline": "Doc 12",
+                   "charCount": 8, "publisher": "web"}
+    # absent / malformed blocks
+    assert jsonld_of_payload(b"<html><body>x</body></html>") is None
+    assert jsonld_of_payload(
+        b'<html><script type="application/ld+json">{broken'
+        b"</script></html>") is None

@@ -288,3 +288,54 @@ def anchor_text_stats(sf_dir: str) -> ray.data.Dataset:
         })
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+# --- JSON-LD structured-data extraction --------------------------------
+# schema.org blocks are the standard structured-data channel on the
+# web; the extraction pipeline DROPS script subtrees from text (rule
+# H3), so structured data needs its own scan: find
+# <script type="application/ld+json"> blocks, json-parse (stdlib), and
+# project typed fields. Per-row parity covers string AND integer fields.
+_JSONLD_RE = re.compile(
+    rb"""<script\s[^>]*type\s*=\s*["']application/ld\+json["'][^>]*>"""
+    rb"(.*?)</script>", re.IGNORECASE | re.DOTALL)
+
+
+def jsonld_of_payload(payload: bytes) -> dict | None:
+    import json as _json
+    m = _JSONLD_RE.search(payload)
+    if m is None:
+        return None
+    try:
+        obj = _json.loads(m.group(1).decode("utf-8", errors="replace"))
+    except ValueError:
+        return None
+    return obj if isinstance(obj, dict) else None
+
+
+def _jsonld_batch(t: pa.Table) -> pa.Table:
+    urls = t.column("url").to_pylist()
+    payloads = t.column("html").to_pylist()
+    ids, types, heads, chars, pubs = [], [], [], [], []
+    for u, payload in zip(urls, payloads):
+        if not payload or not payload.startswith(b"<html"):
+            continue
+        obj = jsonld_of_payload(payload)
+        if obj is None:
+            continue
+        ids.append(int(u[-8:]))
+        types.append(obj.get("@type"))
+        heads.append(obj.get("headline"))
+        chars.append(int(obj.get("charCount", -1)))
+        pubs.append(obj.get("publisher"))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "jsonld_type": pa.array(types, pa.string()),
+                     "headline": pa.array(heads, pa.string()),
+                     "char_count": pa.array(chars, pa.int64()),
+                     "publisher": pa.array(pubs, pa.string())})
+
+
+def jsonld_extract(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, jsonld_type, headline, char_count, publisher) for every
+    HTML page carrying a schema.org block."""
+    return _pages(sf_dir).map_batches(_jsonld_batch, batch_format="pyarrow")

@@ -32,7 +32,7 @@ _EPOCH = _dt.datetime(2021, 1, 1)
 
 # bump whenever the synthesized payload bytes change — keys the /tmp
 # materialization caches (pages_parquet here, corpus_dir in bench.py)
-PAGES_FIXTURE_VERSION = 2
+PAGES_FIXTURE_VERSION = 3
 
 _NAV = ('<nav class="menu"><a href="/">Home</a> <a href="/news">News</a> '
         '<a href="/about">About</a> <a href="/contact">Contact</a></nav>')
@@ -51,7 +51,7 @@ def _sentences_of(text: str, n: int = 12) -> List[str]:
 
 
 def doc_to_page_html(doc_id: int, text: str, source: str,
-                     total: int = 0) -> bytes:
+                     total: int = 0, n_chars: int = -1) -> bytes:
     sents = _sentences_of(text)
     paras = [" ".join(sents[i:i + 3]) for i in range(0, len(sents), 3)]
     body: List[str] = [f"<h1>Document {doc_id}</h1>"]
@@ -77,12 +77,21 @@ def doc_to_page_html(doc_id: int, text: str, source: str,
             for j in range(1, 2 + doc_id % 5))
         related = f'<nav class="related">{anchors}</nav>'
     # head metadata (no block text — extraction output is unchanged):
-    # description + canonical, the meta_extract fixture
+    # description + canonical (meta_extract fixture) and a schema.org
+    # JSON-LD block (jsonld_extract fixture; script subtrees are H3-
+    # dropped, so the extracted text stays identical)
+    jsonld = ""
+    if n_chars >= 0:
+        jsonld = ('<script type="application/ld+json">'
+                  '{"@type": "Article", "headline": "Doc %d", '
+                  '"charCount": %d, "publisher": "%s"}'
+                  "</script>" % (doc_id, n_chars, source))
     head = (f"<title>Doc {doc_id} ({source})</title>"
             f'<meta name="description" '
             f'content="Summary of doc {doc_id} from {source}">'
             f'<link rel="canonical" '
-            f'href="https://example.org/{source}/{doc_id:08d}">')
+            f'href="https://example.org/{source}/{doc_id:08d}">'
+            f"{jsonld}")
     html = (f"<html><head>{head}</head><body>"
             f"{_NAV}<article>{''.join(body)}</article>{related}{_FOOTER}"
             f"</body></html>")
@@ -108,11 +117,15 @@ def doc_to_page_pdf(doc_id: int, text: str) -> bytes:
 
 def _documents_to_pages(batch: pa.Table, total: int = 0) -> pa.Table:
     urls, tss, payloads, texts, langs = [], [], [], [], []
-    for doc_id, text, lang, source in zip(
+    ncs = (batch.column("n_chars").to_pylist()
+           if "n_chars" in batch.column_names
+           else [-1] * batch.num_rows)
+    for doc_id, text, lang, source, n_chars in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("text").to_pylist(),
             batch.column("lang").to_pylist(),
-            batch.column("source").to_pylist()):
+            batch.column("source").to_pylist(),
+            ncs):
         urls.append(f"https://example.org/{source}/{doc_id:08d}")
         tss.append(_EPOCH + _dt.timedelta(seconds=int(doc_id)))
         if doc_id % 53 == 11:
@@ -121,7 +134,7 @@ def _documents_to_pages(batch: pa.Table, total: int = 0) -> pa.Table:
             payloads.append(doc_to_page_pdf(doc_id, text or ""))
         else:
             payloads.append(doc_to_page_html(doc_id, text or "", source,
-                                             total=total))
+                                             total=total, n_chars=n_chars))
         texts.append(text or "")
         langs.append("" if doc_id % 3 == 0 else (lang or ""))
     return pa.table({"url": urls, "warc_ts": tss, "html": payloads,
@@ -139,8 +152,8 @@ def synth_pages(sf_dir: str) -> ray.data.Dataset:
 
     path = f"{sf_dir}/documents.parquet"
     total = pq.ParquetFile(path).metadata.num_rows
-    ds = ray.data.read_parquet(path,
-                               columns=["doc_id", "text", "lang", "source"])
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "text", "lang", "source", "n_chars"])
     return ds.map_batches(functools.partial(_documents_to_pages, total=total),
                           batch_format="pyarrow")
 
