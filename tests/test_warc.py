@@ -61,3 +61,31 @@ def test_pages_roundtrip_through_warc(ray_session, tmp_path):
         ts, payload = orig[r["url"]]
         assert r["warc_ts"] == ts, r["url"]
         assert r["html"] == (payload or b""), r["url"]
+
+
+def test_truncated_trailing_member_keeps_complete_records():
+    members = [_gzip_member(build_record(f"https://e.org/w/{i:08d}",
+                                         dt.datetime(2021, 1, 1),
+                                         b"ok" * (50 * i)))
+               for i in range(3)]
+    # chop deep into the last member's DATA (not just the gzip trailer):
+    # its record body is incomplete and must be dropped, the two
+    # complete members before it survive
+    blob = b"".join(members[:2]) + members[2][:len(members[2]) // 2]
+    t = parse_warc(blob)
+    assert t.num_rows == 2
+    assert t.column("html").to_pylist() == [b"", b"ok" * 50]
+
+
+def test_garbage_after_valid_members():
+    blob = _gzip_member(build_record("u", dt.datetime(2021, 1, 1), b"x")) + \
+        b"\x1f\x8bgarbage-not-gzip"
+    t = parse_warc(blob)
+    assert t.num_rows == 1 and t.column("html").to_pylist() == [b"x"]
+
+
+def test_truncated_warc_header_ignored():
+    raw = build_record("u", dt.datetime(2021, 1, 1), b"x") + \
+        b"WARC/1.0\r\nWARC-Type: resp"     # header never terminates
+    t = parse_warc(raw)
+    assert t.num_rows == 1

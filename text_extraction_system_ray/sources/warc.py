@@ -79,8 +79,14 @@ def parse_warc(data: bytes) -> pa.Table:
         buf = data
         while buf:
             do = zlib.decompressobj(47)  # gzip or zlib header
-            chunks.append(do.decompress(buf))
-            chunks.append(do.flush())
+            try:
+                chunks.append(do.decompress(buf))
+                chunks.append(do.flush())
+            except zlib.error:
+                # truncated/corrupt trailing member: keep every complete
+                # member before it (a partial shard from a killed writer
+                # must not poison the whole read)
+                break
             if not do.unused_data:
                 break
             buf = do.unused_data
@@ -104,6 +110,8 @@ def parse_warc(data: bytes) -> pa.Table:
         clen = int(headers.get(b"content-length", b"0"))
         block = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
+        if len(block) < clen:
+            break                  # truncated record body: drop it
         if headers.get(b"warc-type") != b"response":
             continue
         url = headers.get(b"warc-target-uri", b"").decode()
