@@ -90,3 +90,39 @@ def test_jsonld_of_payload():
     assert jsonld_of_payload(
         b'<html><script type="application/ld+json">{broken'
         b"</script></html>") is None
+
+
+def test_title_fast_path_malformed_cases():
+    from text_extraction_system_ray.pipelines.links import title_of_payload
+    from text_extraction_system_ray.functions.html_extract import parse_html_blocks
+    cfg = PipelineConfig()
+    cases = [
+        b"<html><title>x</title ></html>",             # spaced close tag
+        b"<html><title>never closed",                  # EOF recovery
+        b"<html><title>a</title><title>b</title>",     # multiple titles
+        b"<html><title/>after</html>",                 # self-closing
+        b"<html><TITLE>Upper &amp; case</TITLE></html>",
+        b"<html><title>  sp\n\naced  </title></html>",
+    ]
+    for payload in cases:
+        _, want, _ = parse_html_blocks(payload.decode("utf-8"), cfg)
+        assert title_of_payload(payload) == want, payload
+
+
+def test_title_fast_path_fuzz_parity():
+    """Property: the regex fast path equals the frozen parser's title on
+    random markup soup (the pin behind html_title_extract)."""
+    import random
+    from text_extraction_system_ray.pipelines.links import title_of_payload
+    from text_extraction_system_ray.functions.html_extract import parse_html_blocks
+    cfg = PipelineConfig()
+    rng = random.Random(42)
+    atoms = ["<title>", "</title>", "</title >", "<title/>", "<TITLE >",
+             "text", "&amp;", "<p>", "</p>", " ", "\n", "<b>", "&#65;",
+             "<script>", "</script>", "x</", ">y", "\x01", "€"]
+    for i in range(300):
+        soup = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 30)))
+        payload = soup.encode("utf-8")
+        _, want, _ = parse_html_blocks(soup, cfg)
+        got = title_of_payload(payload)
+        assert got == want, repr(soup)

@@ -125,27 +125,24 @@ def outlink_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 # --- title extraction --------------------------------------------------
-# Fast single-purpose scanner; pinned equal to the frozen block parser's
-# title capture (functions/html_extract.py rule H7) in
-# tests/test_links.py on every corpus family.
-_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
-# the FROZEN whitespace/control rules (H5) — imported, not copied, so the
-# fast path can never drift from the block parser
-from ..functions.html_extract import _CTRL_RE, _WS_RE  # noqa: E402
+# the FROZEN whitespace/control rules (H5) — imported, not copied
+from ..config import PipelineConfig  # noqa: E402
+from ..functions.html_extract import _CTRL_RE, _WS_RE, parse_html_blocks  # noqa: E402
+
+_TITLE_CFG = PipelineConfig()
 
 
 def title_of_payload(payload: bytes) -> str | None:
-    """Title fast path: first <title> element, entity-decoded, whitespace
-    collapsed exactly as rule H5/H7 does."""
-    m = _TITLE_RE.search(payload)
-    if m is None:
-        return None
-    import html as _html
-    raw = m.group(1).decode("utf-8", errors="replace")
-    if "&" in raw:
-        raw = _html.unescape(raw)
-    out = _WS_RE.sub(" ", _CTRL_RE.sub("", raw)).strip()
-    return out or None
+    """Title via the frozen H7 parser rule itself — a regex shortcut
+    diverges from the parser on rawtext/comment/dropped-subtree edges
+    (<title> inside <script>/<svg>/<!-- -->, unclosed titles), so the
+    op runs the real tokenizer; titles are H7 captures, not blocks, and
+    the cost is ~0.3 ms/doc (bench: html_title_extract 0.36 s @ sf0.1)."""
+    text = payload.decode("utf-8", errors="replace")
+    if text.startswith("\ufeff"):
+        text = text[1:]
+    _, title, _ = parse_html_blocks(text, _TITLE_CFG)
+    return title
 
 
 def _title_batch(t: pa.Table) -> pa.Table:

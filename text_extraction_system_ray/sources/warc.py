@@ -39,7 +39,7 @@ from __future__ import annotations
 import datetime as _dt
 import os
 import zlib
-from typing import List, Optional
+from typing import List
 
 import pyarrow as pa
 import ray.data
