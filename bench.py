@@ -81,6 +81,16 @@ def pool_size(cpus: int) -> int:
     return max(1, min(cpus - 1, (3 * cpus) // 4))
 
 
+def _cpu_counters():
+    """(busy_jiffies, steal_jiffies, total) from /proc/stat line 1."""
+    try:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:9]))
+    except (OSError, ValueError):
+        return None
+    return sum(v) - v[3] - v[4], v[7], sum(v)
+
+
 def run_headline(pages_path: str) -> dict:
     import ray.data
     from text_extraction_system_ray.config import PipelineConfig
@@ -97,13 +107,20 @@ def run_headline(pages_path: str) -> dict:
 
     pool = pool_size(NUM_CPUS)
     cfg = PipelineConfig(extract_batch_size=128)
+    c0 = _cpu_counters()
     t0 = time.monotonic()
     ds = ray.data.read_parquet(files, override_num_blocks=256)
     extract_dataset(ds, cfg, concurrency=(pool, pool)).write_parquet(out_dir)
     wall = time.monotonic() - t0
-    return {"sec": round(wall, 3), "rows": n_rows, "pool": pool,
-            "rows_per_s": round(n_rows / wall, 1),
-            "mb_in_per_s": round(bytes_in / 1e6 / wall, 1)}
+    out = {"sec": round(wall, 3), "rows": n_rows, "pool": pool,
+           "rows_per_s": round(n_rows / wall, 1),
+           "mb_in_per_s": round(bytes_in / 1e6 / wall, 1)}
+    c1 = _cpu_counters()
+    if c0 and c1 and c1[2] > c0[2]:
+        # hypervisor steal DURING the attempt — the direct evidence for
+        # the host-neighbor slow phases (identical code swings 7.4-45 s)
+        out["steal_pct"] = round(100 * (c1[1] - c0[1]) / (c1[2] - c0[2]), 2)
+    return out
 
 
 def run_queries() -> dict:
@@ -183,6 +200,9 @@ def main() -> None:
         # best comparison); 'median_sec' compares like-with-like against
         # pre-r3 single-run numbers (ADVICE r3)
         "headline_attempt_secs": headline["attempt_secs"],
+        # hypervisor steal share measured DURING each attempt — the
+        # direct fingerprint of the host-neighbor slow phases
+        "attempt_steal_pct": [a.get("steal_pct") for a in attempts],
         "median_sec": median,
         # noise self-description (VERDICT r3 item 10): host contention
         # cost a round of ambiguity in r2 — every BENCH json now records

@@ -40,6 +40,12 @@ from ..sources.pages import pages_parquet, read_pages
 # single-quoted attribute value. Attribute-value entity decoding is not
 # needed for the /doc/ namespace (digits only); external links are only
 # counted, not resolved.
+#
+# SCOPE: a raw-bytes scan also sees href= text inside comments/<script>
+# strings (the classic regex-crawler tradeoff, chosen for zero-decode
+# throughput; title extraction below deliberately takes the opposite
+# tradeoff and runs the real tokenizer). The planted fixture keeps all
+# hrefs in live markup, so the oracle pins the scan exactly there.
 _HREF_RE = re.compile(rb"""href\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
 _INTERNAL_RE = re.compile(rb"^/doc/(\d{8})$")
 
