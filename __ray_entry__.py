@@ -120,6 +120,11 @@ def _extract_pages_summary(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def _warc_http_status(sf_dir: str) -> ray.data.Dataset:
+    from text_extraction_system_ray.sources.warc import http_status_census
+    return http_status_census(sf_dir)
+
+
 def _warc_source_counts(sf_dir: str) -> ray.data.Dataset:
     """Pages → .warc.gz shards (one gzip member per record) → parse back
     → per-source census. The read side sees ONLY the container bytes, so
@@ -376,6 +381,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema.org JSON-LD extraction: script-block scan + stdlib JSON
         # parse; per-row parity on string AND integer fields
         "jsonld_extract": _links.jsonld_extract,
+        # frontier composition: canonicalize → dedup → RFC 9309 gate
+        # (matched on path+query) → per-source census
+        "crawl_frontier": _urldedup.crawl_frontier,
+        # HTTP status-line parse through real WARC record bytes
+        "warc_http_status": _warc_http_status,
         # RFC 9309 robots.txt evaluation: from-scratch parser (grouped
         # records, wildcard/$ rules, longest-match + allow-tie,
         # most-specific agent group), broadcast compiled rules,
@@ -1811,6 +1821,45 @@ def oracle_sql() -> dict[str, str]:
                    source AS publisher
             FROM documents
             WHERE doc_id % 53 <> 11 AND doc_id % 41 <> 7
+        """,
+        # frontier composition: canonicalize → dedup → robots gate.
+        # Canonical paths end in the doc_id digits (blocked iff %10=0
+        # unless %100=0); param URLs end in '&b=' || (doc_id%3) and the
+        # RFC matches path+QUERY, so *0$ blocks them when doc_id%3=0
+        "crawl_frontier": """
+            WITH d AS (SELECT doc_id, source FROM documents),
+            urls AS (
+              SELECT source, doc_id, 'c' AS kind,
+                     (CASE WHEN doc_id % 10 <> 4 THEN 1 ELSE 0 END)
+                     + (CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END)
+                     + (CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS n_raw
+              FROM d
+              UNION ALL
+              SELECT source, doc_id, 'p', 1 FROM d WHERE doc_id % 10 = 4)
+            SELECT source,
+                   CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+                   CAST(SUM(CASE WHEN n_raw > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_canonical,
+                   CAST(SUM(CASE WHEN n_raw > 0 AND NOT (
+                                (kind = 'c' AND doc_id % 10 = 0
+                                 AND doc_id % 100 <> 0)
+                                OR (kind = 'p' AND doc_id % 3 = 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+            FROM urls GROUP BY 1
+        """,
+        # planted-status WARC records round-tripped through the codec;
+        # census keyed off the STATUS LINE the parser read back
+        "warc_http_status": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 37 = 3 THEN 404
+                          WHEN doc_id % 41 = 5 THEN 301
+                          WHEN doc_id % 53 = 7 THEN 500
+                          ELSE 200 END AS http_status
+              FROM documents)
+            SELECT http_status, count(*) AS n_records,
+                   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+            FROM s GROUP BY 1
         """,
         # generic agent: Disallow /s/*0$ overridden by the longer
         # Allow /s/*00$; specific agent group REPLACES the generic one

@@ -137,3 +137,82 @@ def url_dedup(sf_dir: str) -> ray.data.Dataset:
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# --- frontier composition ----------------------------------------------
+_PATHQ_RE = r"^[a-z0-9+.-]+://[^/]*(?P<pathq>.*)$"
+_SRC_RE = r"^/(?P<src>[^/]+)/"
+
+
+def crawl_frontier(sf_dir: str) -> ray.data.Dataset:
+    """Frontier composition: raw variants → canonicalize → dedup →
+    RFC 9309 robots gate (generic agent, rules matched on path+query
+    per the RFC's matched-URI definition) → per-source census
+    (source, n_raw, n_canonical, n_allowed).
+
+    Two shuffles, both combiner-compressed: one on the normalized URL
+    (the dedup exchange), one tiny per-source rollup."""
+    import ray as _ray
+
+    from .robots import (evaluate_rules, parse_robots,
+                         robots_txt_for_source, select_group)
+
+    import pyarrow.parquet as pq
+    srcs = pc.unique(pq.read_table(f"{sf_dir}/documents.parquet",
+                                   columns=["source"]).column("source"))
+    compiled = {s: select_group(parse_robots(robots_txt_for_source(s)),
+                                "SomeCrawler/1.0")
+                for s in srcs.to_pylist()}
+    rules_ref = _ray.put(compiled)
+
+    ds = synth_raw_urls(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        norm = normalize_urls(t.column("url"))
+        vals, counts = np.unique(norm.to_numpy(zero_copy_only=False),
+                                 return_counts=True)
+        return pa.table({"normalized_url": pa.array(vals, pa.string()),
+                         "partial": pa.array(counts.astype(np.int64))})
+
+    per_url = ds.map_batches(partials, batch_format="pyarrow") \
+                .groupby("normalized_url").sum("partial")
+
+    def gate(t: pa.Table, ref=rules_ref) -> pa.Table:
+        rules = _ray.get(ref)
+        urls = t.column("normalized_url")
+        pathq = pc.fill_null(pc.struct_field(
+            pc.extract_regex(urls, _PATHQ_RE), "pathq"), "")
+        src = pc.fill_null(pc.struct_field(
+            pc.extract_regex(pathq, _SRC_RE), "src"), "")
+        srcs_np = src.to_numpy(zero_copy_only=False)
+        allowed = np.ones(len(t), bool)
+        for s in np.unique(srcs_np):
+            m = srcs_np == s
+            allowed[m] = evaluate_rules(rules.get(s, []),
+                                        pathq.filter(pa.array(m)))
+        n_raw = t.column("sum(partial)").to_numpy().astype(np.int64)
+        # per-batch per-source combiner
+        uniq, idx = np.unique(srcs_np, return_inverse=True)
+        raw_sums = np.bincount(idx, weights=n_raw).astype(np.int64)
+        canon = np.bincount(idx).astype(np.int64)
+        allow = np.bincount(idx, weights=allowed).astype(np.int64)
+        return pa.table({"source": pa.array(uniq, pa.string()),
+                         "p_raw": pa.array(raw_sums),
+                         "p_canonical": pa.array(canon),
+                         "p_allowed": pa.array(allow)})
+
+    rolled = per_url.map_batches(gate, batch_format="pyarrow") \
+                    .groupby("source").aggregate(
+                        ray.data.aggregate.Sum("p_raw"),
+                        ray.data.aggregate.Sum("p_canonical"),
+                        ray.data.aggregate.Sum("p_allowed"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "n_raw": t.column("sum(p_raw)").cast(pa.int64()),
+            "n_canonical": t.column("sum(p_canonical)").cast(pa.int64()),
+            "n_allowed": t.column("sum(p_allowed)").cast(pa.int64()),
+        })
+
+    return rolled.map_batches(rename, batch_format="pyarrow")

@@ -53,9 +53,15 @@ def _gzip_member(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
-def build_record(url: str, ts: _dt.datetime, payload: bytes) -> bytes:
+_REASONS = {200: b"OK", 301: b"Moved Permanently", 404: b"Not Found",
+            410: b"Gone", 500: b"Internal Server Error"}
+
+
+def build_record(url: str, ts: _dt.datetime, payload: bytes,
+                 status: int = 200) -> bytes:
     """One WARC response record (uncompressed bytes)."""
-    http = (b"HTTP/1.1 200 OK" + _CRLF +
+    reason = _REASONS.get(status, b"Unknown")
+    http = (b"HTTP/1.1 " + str(status).encode() + b" " + reason + _CRLF +
             b"Content-Type: text/html" + _CRLF +
             b"Content-Length: " + str(len(payload)).encode() + _CRLF +
             _CRLF + payload)
@@ -94,6 +100,7 @@ def parse_warc(data: bytes) -> pa.Table:
     urls: List[str] = []
     tss: List[_dt.datetime] = []
     payloads: List[bytes] = []
+    statuses: List[int] = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -118,15 +125,23 @@ def parse_warc(data: bytes) -> pa.Table:
         ts = _dt.datetime.strptime(
             headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode(),
             "%Y-%m-%dT%H:%M:%SZ")
-        # payload = HTTP block body after its own header terminator
+        # payload = HTTP block body after its own header terminator;
+        # status from the HTTP/1.x status line (0 when unparseable)
         body_at = block.find(_CRLF + _CRLF)
         payloads.append(block[body_at + 4:] if body_at >= 0 else b"")
+        status = 0
+        if block[:5] == b"HTTP/":
+            parts = block.split(_CRLF, 1)[0].split(b" ", 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+        statuses.append(status)
         urls.append(url)
         tss.append(ts)
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
         "html": pa.array(payloads, pa.binary()),
+        "http_status": pa.array(statuses, pa.int64()),
     })
 
 
@@ -168,3 +183,65 @@ def write_warc(ds: ray.data.Dataset, out_dir: str) -> List[str]:
 
     manifest = ds.map_batches(dump, batch_format="pyarrow")
     return [r["path"] for r in manifest.take_all()]
+
+
+def http_status_census(sf_dir: str) -> "ray.data.Dataset":
+    """Planted-status WARC records → per-status census.
+
+    Builds one real WARC response record per document (status planted by
+    doc_id arithmetic), round-trips it through the record codec, and
+    aggregates what the STATUS-LINE PARSER read back — a wrong reason
+    phrase split, Content-Length frame or digit parse breaks the match.
+    Statuses: 404 when doc_id%37==3, else 301 when doc_id%41==5, else
+    500 when doc_id%53==7, else 200."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def census(t: pa.Table) -> pa.Table:
+        blobs = []
+        ids = t.column("doc_id").to_pylist()
+        for d in ids:
+            if d % 37 == 3:
+                st = 404
+            elif d % 41 == 5:
+                st = 301
+            elif d % 53 == 7:
+                st = 500
+            else:
+                st = 200
+            blobs.append(build_record(
+                f"https://example.org/x/{d:08d}",
+                _dt.datetime(2021, 1, 1), b"payload %d" % d, status=st))
+        parsed = parse_warc(b"".join(blobs))
+        sts = parsed.column("http_status").to_numpy()
+        pids = np.fromiter((int(u[-8:])
+                            for u in parsed.column("url").to_pylist()),
+                           np.int64, len(parsed))
+        vals, idx = np.unique(sts, return_inverse=True)
+        n = np.bincount(idx)
+        mins = np.full(len(vals), np.iinfo(np.int64).max, np.int64)
+        maxs = np.full(len(vals), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mins, idx, pids)
+        np.maximum.at(maxs, idx, pids)
+        return pa.table({"http_status": pa.array(vals, pa.int64()),
+                         "partial_n": pa.array(n.astype(np.int64)),
+                         "partial_min": pa.array(mins, pa.int64()),
+                         "partial_max": pa.array(maxs, pa.int64())})
+
+    rows = ds.map_batches(census, batch_format="pyarrow")
+    agg = rows.groupby("http_status").aggregate(
+        ray.data.aggregate.Sum("partial_n"),
+        ray.data.aggregate.Min("partial_min"),
+        ray.data.aggregate.Max("partial_max"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "http_status": t.column("http_status"),
+            "n_records": t.column("sum(partial_n)").cast(pa.int64()),
+            "min_doc_id": t.column("min(partial_min)").cast(pa.int64()),
+            "max_doc_id": t.column("max(partial_max)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
