@@ -120,6 +120,11 @@ def _extract_pages_summary(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def _sitemap_census(sf_dir: str) -> ray.data.Dataset:
+    from text_extraction_system_ray.sources.sitemap import sitemap_census
+    return sitemap_census(sf_dir)
+
+
 def _warc_http_status(sf_dir: str) -> ray.data.Dataset:
     from text_extraction_system_ray.sources.warc import http_status_census
     return http_status_census(sf_dir)
@@ -386,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _urldedup.crawl_frontier,
         # HTTP status-line parse through real WARC record bytes
         "warc_http_status": _warc_http_status,
+        # sitemaps.org protocol: build gz urlsets per source, parse them
+        # back, census what the PARSER read (loc + lastmod grammar)
+        "sitemap_census": _sitemap_census,
         # RFC 9309 robots.txt evaluation: from-scratch parser (grouped
         # records, wildcard/$ rules, longest-match + allow-tie,
         # most-specific agent group), broadcast compiled rules,
@@ -1846,6 +1854,12 @@ def oracle_sql() -> dict[str, str]:
                                 OR (kind = 'p' AND doc_id % 3 = 0))
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
             FROM urls GROUP BY 1
+        """,
+        "sitemap_census": """
+            SELECT source, count(*) AS n_urls,
+                   min(doc_id % 365) AS min_lastmod_day,
+                   max(doc_id % 365) AS max_lastmod_day
+            FROM documents GROUP BY 1
         """,
         # planted-status WARC records round-tripped through the codec;
         # census keyed off the STATUS LINE the parser read back

@@ -148,7 +148,8 @@ def run_queries() -> dict:
               "link_graph", "html_title_extract", "semantic_dedup",
               "warc_source_counts", "anchor_text_stats", "meta_extract",
               "charset_decode", "url_dedup", "robots_filter",
-              "jsonld_extract", "crawl_frontier", "warc_http_status"]
+              "jsonld_extract", "crawl_frontier", "warc_http_status",
+              "sitemap_census"]
     out = {}
     for name in picked:
         t0 = time.monotonic()
