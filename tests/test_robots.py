@@ -55,3 +55,17 @@ def test_comments_and_unknown_directives_ignored():
         "# header\nUser-agent: * # inline\nCrawl-delay: 10\n"
         "Disallow: /secret # hidden\nSitemap: https://e.org/s.xml\n")
     assert g["*"] == [("/secret", False)]
+
+
+def test_parser_total_on_fuzz():
+    """Parser/evaluator never raise on junk robots bodies."""
+    import random
+    import pyarrow as pa
+    rng = random.Random(9)
+    atoms = ["User-agent:", "Disallow:", "Allow:", "*", "$", "/a", "\n",
+             ":", "#c", " ", "bot", "Crawl-delay: x", "\r\n", "Ünïcode"]
+    for _ in range(200):
+        text = "".join(rng.choice(atoms) for _ in range(rng.randint(1, 25)))
+        g = parse_robots(text)
+        rules = select_group(g, "anybot/1.0")
+        evaluate_rules(rules, pa.array(["/a/b", "", "/x?q=1"]))

@@ -36,3 +36,17 @@ def test_empty_and_mixed_batch():
               "https://e.org/q?z=9&y=8"])
     assert got == ["https://e.org/", "https://e.org/",
                    "https://e.org/q?y=8&z=9"]
+
+
+def test_normalize_idempotent_and_total():
+    """Property: normalization is idempotent and never raises on junk."""
+    import random
+    rng = random.Random(7)
+    atoms = ["https://", "HTTP://", "e.ORG", ":443", ":80", ":8080", "/p",
+             "?", "&", "a=1", "b=2", "utm_source=x", "#f", "%20", "//",
+             "", "x y", "☃", ":", "="]
+    urls = ["".join(rng.choice(atoms) for _ in range(rng.randint(1, 8)))
+            for _ in range(500)]
+    once = normalize_urls(pa.array(urls, pa.string())).to_pylist()
+    twice = normalize_urls(pa.array(once, pa.string())).to_pylist()
+    assert once == twice
