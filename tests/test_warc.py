@@ -89,3 +89,20 @@ def test_truncated_warc_header_ignored():
         b"WARC/1.0\r\nWARC-Type: resp"     # header never terminates
     t = parse_warc(raw)
     assert t.num_rows == 1
+
+
+def test_junk_header_values_tolerated():
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Date: not-a-date\r\nWARC-Target-URI: u\r\n"
+           b"Content-Length: 7\r\n\r\nHTTP!!!"
+           + build_record("v", dt.datetime(2021, 1, 2), b"ok"))
+    t = parse_warc(raw)
+    assert t.num_rows == 2
+    assert t.column("warc_ts").to_pylist()[0] == dt.datetime(1970, 1, 1)
+    assert t.column("http_status").to_pylist() == [0, 200]
+    # junk Content-Length skips only that record
+    raw2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Length: banana\r\n\r\n"
+            + build_record("w", dt.datetime(2021, 1, 3), b"z"))
+    t2 = parse_warc(raw2)
+    assert t2.column("url").to_pylist() == ["w"]

@@ -114,7 +114,11 @@ def parse_warc(data: bytes) -> pa.Table:
         for line in data[start:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get(b"content-length", b"0"))
+        try:
+            clen = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            pos = hdr_end + 4      # junk Content-Length: skip record,
+            continue               # resume scan after its header
         block = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
         if len(block) < clen:
@@ -122,9 +126,12 @@ def parse_warc(data: bytes) -> pa.Table:
         if headers.get(b"warc-type") != b"response":
             continue
         url = headers.get(b"warc-target-uri", b"").decode()
-        ts = _dt.datetime.strptime(
-            headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode(),
-            "%Y-%m-%dT%H:%M:%SZ")
+        try:
+            ts = _dt.datetime.strptime(
+                headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode(),
+                "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            ts = _dt.datetime(1970, 1, 1)   # malformed date: epoch
         # payload = HTTP block body after its own header terminator;
         # status from the HTTP/1.x status line (0 when unparseable)
         body_at = block.find(_CRLF + _CRLF)
