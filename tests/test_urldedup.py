@@ -50,3 +50,12 @@ def test_normalize_idempotent_and_total():
     once = normalize_urls(pa.array(urls, pa.string())).to_pylist()
     twice = normalize_urls(pa.array(once, pa.string())).to_pylist()
     assert once == twice
+
+
+def test_ipv6_and_userinfo_hosts_not_collapsed():
+    got = _n(["https://[2001:db8::1]/p", "https://[2001:db8::2]/p",
+              "https://user:pw@e.org/p"])
+    assert got[0] != got[1]
+    assert got[0] == "https://[2001:db8::1]/p"
+    # unsplittable authority passes through whole, never ''
+    assert "user:pw@e.org" in got[2]

@@ -106,3 +106,26 @@ def test_junk_header_values_tolerated():
             + build_record("w", dt.datetime(2021, 1, 3), b"z"))
     t2 = parse_warc(raw2)
     assert t2.column("url").to_pylist() == ["w"]
+
+
+def test_negative_content_length_no_hang():
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: -54\r\n\r\n"
+           + build_record("ok", dt.datetime(2021, 1, 1), b"x"))
+    t = parse_warc(raw)          # must terminate
+    assert t.column("url").to_pylist() == ["ok"]
+
+
+def test_write_warc_arbitrary_urls(ray_session, tmp_path):
+    """Shard naming must be total over URLs (no 8-digit-tail assumption)."""
+    import ray.data
+    ds = ray.data.from_items([
+        {"url": "https://example.org/", "warc_ts": dt.datetime(2021, 1, 1),
+         "html": b"<html>root</html>"},
+        {"url": "https://example.org/a?q=1", "warc_ts": dt.datetime(2021, 1, 2),
+         "html": b"<html>a</html>"},
+    ])
+    paths = write_warc(ds, str(tmp_path / "w"))
+    back = read_warc(paths).take_all()
+    assert sorted(r["url"] for r in back) == \
+        ["https://example.org/", "https://example.org/a?q=1"]

@@ -81,9 +81,17 @@ def normalize_urls(url: pa.ChunkedArray | pa.Array) -> pa.Array:
     path = field("path")
     query = field("query")
 
-    hp = pc.extract_regex(auth, r"^(?P<host>[^:]*)(?::(?P<port>\d+))?$")
-    host = pc.fill_null(pc.struct_field(hp, "host"), "")
-    port = pc.fill_null(pc.struct_field(hp, "port"), "")
+    # host:port split — bracketed IPv6 literals keep their colons; an
+    # authority the grammar can't split (userinfo, junk) passes through
+    # WHOLE as the host rather than silently collapsing to '' (which
+    # would dedupe distinct hosts together)
+    hp = pc.extract_regex(
+        auth, r"^(?P<host>\[[^\]]*\]|[^:@\[]*)(?::(?P<port>\d+))?$")
+    matched = pc.is_valid(hp)
+    host = pc.if_else(matched,
+                      pc.fill_null(pc.struct_field(hp, "host"), ""), auth)
+    port = pc.if_else(matched,
+                      pc.fill_null(pc.struct_field(hp, "port"), ""), "")
     default_port = pc.or_(
         pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")),
         pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")))
@@ -115,19 +123,22 @@ def normalize_urls(url: pa.ChunkedArray | pa.Array) -> pa.Array:
         scheme, "://", host, port_part, path, q_part, "")
 
 
+def _dedup_partials(t: pa.Table) -> pa.Table:
+    """Shared combiner: batch → one (normalized_url, count) row per
+    DISTINCT canonical URL (used by url_dedup AND crawl_frontier so the
+    two ops can never diverge on the same input)."""
+    norm = normalize_urls(t.column("url"))
+    vals, counts = np.unique(
+        norm.to_numpy(zero_copy_only=False), return_counts=True)
+    return pa.table({"normalized_url": pa.array(vals, pa.string()),
+                     "partial": pa.array(counts.astype(np.int64))})
+
+
 def url_dedup(sf_dir: str) -> ray.data.Dataset:
     """(normalized_url, n_raw) — distinct canonical URLs with how many
     raw variants collapsed into each."""
     ds = synth_raw_urls(sf_dir)
-
-    def partials(t: pa.Table) -> pa.Table:
-        norm = normalize_urls(t.column("url"))
-        vals, counts = np.unique(
-            norm.to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({"normalized_url": pa.array(vals, pa.string()),
-                         "partial": pa.array(counts.astype(np.int64))})
-
-    agg = ds.map_batches(partials, batch_format="pyarrow") \
+    agg = ds.map_batches(_dedup_partials, batch_format="pyarrow") \
             .groupby("normalized_url").sum("partial")
 
     def rename(t: pa.Table) -> pa.Table:
@@ -166,15 +177,7 @@ def crawl_frontier(sf_dir: str) -> ray.data.Dataset:
     rules_ref = _ray.put(compiled)
 
     ds = synth_raw_urls(sf_dir)
-
-    def partials(t: pa.Table) -> pa.Table:
-        norm = normalize_urls(t.column("url"))
-        vals, counts = np.unique(norm.to_numpy(zero_copy_only=False),
-                                 return_counts=True)
-        return pa.table({"normalized_url": pa.array(vals, pa.string()),
-                         "partial": pa.array(counts.astype(np.int64))})
-
-    per_url = ds.map_batches(partials, batch_format="pyarrow") \
+    per_url = ds.map_batches(_dedup_partials, batch_format="pyarrow") \
                 .groupby("normalized_url").sum("partial")
 
     def gate(t: pa.Table, ref=rules_ref) -> pa.Table:

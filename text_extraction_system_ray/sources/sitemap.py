@@ -32,9 +32,9 @@ _SM_BLOCK_RE = re.compile(rb"<sitemap>(.*?)</sitemap>", re.DOTALL)
 _LASTMOD_RE = re.compile(rb"<lastmod>\s*(\d{4})-(\d{2})-(\d{2})\s*</lastmod>")
 
 
-def _gz(data: bytes) -> bytes:
-    co = zlib.compressobj(6, zlib.DEFLATED, 31)
-    return co.compress(data) + co.flush()
+# one shared deterministic-gzip implementation (mtime=0 contract lives
+# with its docs in warc.py)
+from .warc import _gzip_member as _gz  # noqa: E402
 
 
 def _gunzip(data: bytes) -> bytes:
@@ -90,13 +90,15 @@ def parse_sitemap_index(data: bytes) -> List[str]:
 
 
 def sitemap_census(sf_dir: str) -> ray.data.Dataset:
-    """Build per-source sitemaps + index from documents, walk the index,
-    parse every sitemap, census: (source, n_urls, min/max lastmod-day).
+    """Per-source sitemap build + parse → census:
+    (source, n_urls, min/max lastmod-day).
 
-    The per-source sitemap build + parse runs distributed (one task
-    group per source via groupby on a pre-assigned key); the index walk
-    is a driver-side scan of a tiny document (mirrors a real crawler:
-    index is one fetch, sitemaps fan out)."""
+    Each batch builds REAL protocol bytes for the sources it sees and
+    parses them back, so a source split across batches produces partial
+    sitemaps whose censuses reconcile in the final Sum/Min/Max
+    aggregate — the result reflects what the PARSER read, not the
+    input ids. (The sitemap-index build/walk helpers are exercised in
+    tests/test_sitemap.py.)"""
     import numpy as np
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",

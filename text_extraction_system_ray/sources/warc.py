@@ -117,8 +117,10 @@ def parse_warc(data: bytes) -> pa.Table:
         try:
             clen = int(headers.get(b"content-length", b"0"))
         except ValueError:
-            pos = hdr_end + 4      # junk Content-Length: skip record,
-            continue               # resume scan after its header
+            clen = -1
+        if clen < 0:               # junk/negative Content-Length: skip
+            pos = hdr_end + 4      # the record, resume AFTER its header
+            continue               # (never rewind — infinite-loop guard)
         block = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
         if len(block) < clen:
@@ -177,12 +179,16 @@ def write_warc(ds: ray.data.Dataset, out_dir: str) -> List[str]:
             return pa.table({"path": pa.array([], pa.string()),
                              "n_records": pa.array([], pa.int64())})
         members = []
-        for url, ts, payload in zip(t.column("url").to_pylist(),
+        urls = t.column("url").to_pylist()
+        for url, ts, payload in zip(urls,
                                     t.column("warc_ts").to_pylist(),
                                     t.column("html").to_pylist()):
             members.append(_gzip_member(build_record(url, ts, payload or b"")))
-        ids = sorted(int(u[-8:]) for u in t.column("url").to_pylist())
-        path = os.path.join(out_dir, f"shard-{ids[0]:08d}-{ids[-1]:08d}.warc.gz")
+        # shard name total over ARBITRARY urls: md5 of the sorted url
+        # set (deterministic per content, no format assumption)
+        import hashlib
+        tag = hashlib.md5("\n".join(sorted(urls)).encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"shard-{tag}-{len(urls)}.warc.gz")
         with open(path, "wb") as f:
             f.write(b"".join(members))
         return pa.table({"path": pa.array([path]),
