@@ -47,6 +47,7 @@ from text_extraction_system_ray.pipelines import textstats as _ts
 from text_extraction_system_ray.pipelines import urlstats as _url
 from text_extraction_system_ray.pipelines import charset as _charset
 from text_extraction_system_ray.pipelines import robots as _robots
+from text_extraction_system_ray.pipelines import sketch as _sketch
 from text_extraction_system_ray.pipelines import urldedup as _urldedup
 from text_extraction_system_ray.pipelines import links as _links
 from text_extraction_system_ray.pipelines import semdedup as _sem
@@ -394,6 +395,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitemaps.org protocol: build gz urlsets per source, parse them
         # back, census what the PARSER read (loc + lastmod grammar)
         "sitemap_census": _sitemap_census,
+        # HyperLogLog distinct-count sketch: per-batch register
+        # combiners → one groupby-max → 1024-row driver finish; the
+        # whole sketch is integer-exact and oracle-reproducible
+        "hll_distinct": _sketch.hll_distinct_text,
         # RFC 9309 robots.txt evaluation: from-scratch parser (grouped
         # records, wildcard/$ rules, longest-match + allow-tie,
         # most-specific agent group), broadcast compiled rules,
@@ -1854,6 +1859,55 @@ def oracle_sql() -> dict[str, str]:
                                 OR (kind = 'p' AND doc_id % 3 = 0))
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
             FROM urls GROUP BY 1
+        """,
+        # HLL reproduced end-to-end in SQL: same md5-low64 hash, integer
+        # bit-length (binary reduction ≡ the correlated powers-of-two
+        # max), exact int64 register numerator, identical estimator
+        # literals; 4-decimal round kills libm-ulp risk on the ln branch
+        "hll_distinct": """
+            WITH h AS (
+              SELECT CAST(concat('0x', substr(md5(text), 1, 16))
+                          AS UBIGINT) AS hu
+              FROM documents
+            ),
+            b AS (
+              SELECT CAST(hu >> 54 AS BIGINT) AS bucket,
+                     CAST(hu & ((1::UBIGINT << 54) - 1) AS BIGINT) AS w
+              FROM h
+            ),
+            r AS (
+              SELECT bucket,
+                     LEAST(55 - (SELECT COALESCE(MAX(i + 1), 0)
+                                 FROM range(0, 54) t(i)
+                                 WHERE (1::BIGINT << CAST(i AS INT))
+                                       <= b.w), 40) AS rho
+              FROM b
+            ),
+            mx AS (SELECT bucket, MAX(rho) AS m_rho FROM r GROUP BY 1),
+            agg AS (
+              SELECT COUNT(*) AS nonzero,
+                     SUM(1::BIGINT << CAST(40 - m_rho AS INT))
+                         AS num_present
+              FROM mx
+            ),
+            f AS (
+              SELECT CAST(1024 AS BIGINT) AS m,
+                     CAST(1024 - nonzero AS BIGINT) AS zero_buckets,
+                     CAST(num_present + (1024 - nonzero)
+                          * (1::BIGINT << 40) AS BIGINT) AS rho_numerator
+              FROM agg
+            )
+            SELECT m, zero_buckets, rho_numerator,
+                   ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 1024)) * 1024
+                                   * 1024 * POW(2.0, 40)
+                                   / CAST(rho_numerator AS DOUBLE)
+                                   <= 2.5 * 1024 AND zero_buckets > 0
+                              THEN 1024 * LN(1024.0 / zero_buckets)
+                              ELSE (0.7213 / (1.0 + 1.079 / 1024)) * 1024
+                                   * 1024 * POW(2.0, 40)
+                                   / CAST(rho_numerator AS DOUBLE)
+                         END, 4) AS estimate
+            FROM f
         """,
         "sitemap_census": """
             SELECT source, count(*) AS n_urls,

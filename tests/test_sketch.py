@@ -1,0 +1,52 @@
+"""HyperLogLog sketch: exact bit-length, merge law, accuracy bound."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from text_extraction_system_ray.pipelines.sketch import (
+    M, RHO_CAP, _bitlen_u64, finish, register_partials)
+
+
+def test_bitlen_exact_incl_double_boundary():
+    vals = np.array([0, 1, 2, 3, 2**53 - 1, 2**53, 2**53 + 1, 2**54 - 1],
+                    np.uint64)
+    got = _bitlen_u64(vals)
+    want = [v.bit_length() for v in vals.tolist()]
+    assert got.tolist() == want          # float log2 gets 2**53+1 wrong
+
+
+def test_register_merge_is_elementwise_max():
+    """HLL merge law: sketch(A ∪ B) == max-merge(sketch(A), sketch(B))."""
+    a = [f"doc-{i}" for i in range(500)]
+    b = [f"doc-{i}" for i in range(300, 900)]
+    ta, tb = register_partials(a), register_partials(b)
+    tu = register_partials(a + b)
+
+    def reg(t):
+        r = np.zeros(M, np.int64)
+        r[t.column("bucket").to_numpy()] = t.column("max_rho").to_numpy()
+        return r
+
+    assert (np.maximum(reg(ta), reg(tb)) == reg(tu)).all()
+
+
+def test_estimate_accuracy_and_dup_invariance():
+    vals = [f"item-{i}" for i in range(5000)]
+    t = register_partials(vals + vals[:2500])     # duplicates change nothing
+    t2 = register_partials(vals)
+    assert t.equals(t2)
+    row = finish(t.column("bucket").to_numpy(), t.column("max_rho").to_numpy())
+    # standard error ~1.04/sqrt(1024) ≈ 3.3%; allow 4 sigma
+    assert abs(row["estimate"] - 5000) / 5000 < 0.13
+    assert row["rho_numerator"] <= 1024 * (1 << RHO_CAP)
+
+
+def test_empty_and_single():
+    t = register_partials([])
+    assert t.num_rows == 0
+    row = finish(t.column("bucket").to_numpy(), t.column("max_rho").to_numpy())
+    assert row["estimate"] == 0.0 or row["zero_buckets"] == M
+    one = register_partials(["x"])
+    r1 = finish(one.column("bucket").to_numpy(),
+                one.column("max_rho").to_numpy())
+    assert 0.5 < r1["estimate"] < 2.5
