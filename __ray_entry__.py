@@ -399,6 +399,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combiners → one groupby-max → 1024-row driver finish; the
         # whole sketch is integer-exact and oracle-reproducible
         "hll_distinct": _sketch.hll_distinct_text,
+        # KMV/theta sketches over per-source VOCABULARY: k-min partials
+        # per batch, tiny driver finish; set ops on sketches (the theta
+        # intersection sample) — exactly reproducible via ROW_NUMBER<=k
+        "kmv_source_sketch": _sketch.kmv_source_sketch,
+        "kmv_source_overlap": _sketch.kmv_source_overlap,
         # RFC 9309 robots.txt evaluation: from-scratch parser (grouped
         # records, wildcard/$ rules, longest-match + allow-tie,
         # most-specific agent group), broadcast compiled rules,
@@ -1908,6 +1913,74 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(rho_numerator AS DOUBLE)
                          END, 4) AS estimate
             FROM f
+        """,
+        "kmv_source_sketch": """
+            WITH w AS (
+              SELECT DISTINCT source, UNNEST(list_filter(
+                  string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '')) AS word
+              FROM documents),
+            h AS (
+              SELECT DISTINCT source,
+                     CAST(concat('0x', substr(md5(word), 1, 16))
+                          AS UBIGINT) AS hu
+              FROM w),
+            rk AS (SELECT source, hu,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY hu) AS rn
+                   FROM h),
+            keep AS (SELECT source, hu FROM rk WHERE rn <= 16),
+            per AS (SELECT source, COUNT(*) AS k_kept, MAX(hu) AS kth
+                    FROM keep GROUP BY 1)
+            SELECT source, k_kept,
+                   CAST(CAST(kth AS HUGEINT)
+                        - (CASE WHEN kth >= 9223372036854775808::HUGEINT
+                                THEN 18446744073709551616::HUGEINT
+                                ELSE 0::HUGEINT END) AS BIGINT) AS kth_hash,
+                   ROUND(CASE WHEN k_kept < 16
+                              THEN CAST(k_kept AS DOUBLE)
+                              ELSE 15.0 * POW(2.0, 64)
+                                   / CAST(kth AS DOUBLE) END,
+                         4) AS distinct_est
+            FROM per
+        """,
+        "kmv_source_overlap": """
+            WITH w AS (
+              SELECT DISTINCT source, UNNEST(list_filter(
+                  string_split_regex(lower(text), '\\s+'),
+                  x -> x <> '')) AS word
+              FROM documents),
+            h AS (
+              SELECT DISTINCT source,
+                     CAST(concat('0x', substr(md5(word), 1, 16))
+                          AS UBIGINT) AS hu
+              FROM w),
+            rk AS (SELECT source, hu,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY hu) AS rn
+                   FROM h),
+            keep AS (SELECT source, hu FROM rk WHERE rn <= 16),
+            pairs AS (SELECT a.source AS sa, b.source AS sb
+                      FROM (SELECT DISTINCT source FROM keep) a
+                      JOIN (SELECT DISTINCT source FROM keep) b
+                        ON a.source < b.source),
+            u AS (
+              SELECT p.sa, p.sb, k.hu,
+                     MAX(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END)
+                         AS in_a,
+                     MAX(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END)
+                         AS in_b
+              FROM pairs p JOIN keep k ON k.source IN (p.sa, p.sb)
+              GROUP BY 1, 2, 3),
+            ru AS (SELECT sa, sb, in_a, in_b,
+                          ROW_NUMBER() OVER (PARTITION BY sa, sb
+                                             ORDER BY hu) AS rn
+                   FROM u)
+            SELECT sa AS source_a, sb AS source_b,
+                   CAST(SUM(CASE WHEN rn <= 16 AND in_a = 1 AND in_b = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_common_in_unionk
+            FROM ru GROUP BY 1, 2
         """,
         "sitemap_census": """
             SELECT source, count(*) AS n_urls,

@@ -149,7 +149,8 @@ def run_queries() -> dict:
               "warc_source_counts", "anchor_text_stats", "meta_extract",
               "charset_decode", "url_dedup", "robots_filter",
               "jsonld_extract", "crawl_frontier", "warc_http_status",
-              "sitemap_census", "hll_distinct"]
+              "sitemap_census", "hll_distinct", "kmv_source_sketch",
+              "kmv_source_overlap"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -92,7 +92,8 @@ def test_all_queries_run(entrymod):
     "warc_source_counts", "semantic_dedup",
     "meta_extract", "anchor_text_stats", "charset_decode", "url_dedup",
     "robots_filter", "jsonld_extract", "crawl_frontier", "warc_http_status",
-    "sitemap_census", "hll_distinct",
+    "sitemap_census", "hll_distinct", "kmv_source_sketch",
+    "kmv_source_overlap",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

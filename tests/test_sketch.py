@@ -50,3 +50,25 @@ def test_empty_and_single():
     r1 = finish(one.column("bucket").to_numpy(),
                 one.column("max_rho").to_numpy())
     assert 0.5 < r1["estimate"] < 2.5
+
+
+def test_kmv_merge_law_and_overlap():
+    """KMV merge: k-min of union == k-min of merged partials; the theta
+    intersection sample counts only hashes in BOTH sketches."""
+    from text_extraction_system_ray.pipelines.sketch import (
+        KMV_K, _kmv_merge, kmv_partials)
+    a = kmv_partials(["s1"] * 3 + ["s2"] * 3,
+                     ["alpha beta gamma", "delta", "beta epsilon",
+                      "alpha zeta", "eta beta", "theta"])
+    b = kmv_partials(["s1", "s2"], ["iota kappa", "alpha lambda"])
+    rows = a.to_pylist() + b.to_pylist()
+    merged = _kmv_merge(rows)
+    # reference: sketch the full per-source word sets in one shot
+    full = kmv_partials(
+        ["s1"] * 4 + ["s2"] * 4,
+        ["alpha beta gamma", "delta", "beta epsilon", "iota kappa",
+         "alpha zeta", "eta beta", "theta", "alpha lambda"])
+    want = _kmv_merge(full.to_pylist())
+    for s in ("s1", "s2"):
+        assert merged[s].tolist() == want[s].tolist()
+        assert len(merged[s]) <= KMV_K

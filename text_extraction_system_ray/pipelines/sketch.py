@@ -91,3 +91,102 @@ def hll_distinct_text(sf_dir: str) -> pa.Table:
     row = finish(np.array([r["bucket"] for r in rows], np.int64),
                  np.array([r["max(max_rho)"] for r in rows], np.int64))
     return pa.table({k: pa.array([v]) for k, v in row.items()})
+
+
+# --- KMV / theta sketch (k-minimum-values) -----------------------------
+# HLL cannot intersect; KMV can: keep the k smallest hashes per key and
+# set operations on sketches estimate set operations on the data
+# (Beyer et al. 2007). Per-batch partials emit at most k rows per
+# source; the driver finishes tiny (n_sources × k) hash lists. Being a
+# pure function of the k smallest md5 values, the sketch — estimates
+# included — is exactly reproducible in SQL (ROW_NUMBER ≤ k).
+KMV_K = 16
+
+
+def kmv_partials(sources: List[str], texts: List[str]) -> pa.Table:
+    """Sketch the per-source VOCABULARY (distinct lowercased whitespace
+    tokens — the same tokenization the vocab/jaccard oracles use).
+    Vocabulary overlap across sources is dense, so the theta
+    intersection below has real signal (a text-level sketch on this
+    corpus never intersects — every doc text is source-unique)."""
+    import numpy as np
+    per_src_words: dict = {}
+    for s, t in zip(sources, texts):
+        per_src_words.setdefault(s, set()).update(
+            (t or "").lower().split())
+    out_s, out_h = [], []
+    for s in sorted(per_src_words):
+        words = sorted(per_src_words[s])
+        hs = np.sort(np.unique(_md5_low64(words)))[:KMV_K] \
+            if words else np.array([], np.uint64)
+        out_s.extend([str(s)] * len(hs))
+        out_h.extend(hs.tolist())
+    return pa.table({"source": pa.array(out_s, pa.string()),
+                     "hu": pa.array(np.array(out_h, np.uint64)
+                                    .view(np.int64), pa.int64())})
+
+
+def _kmv_merge(rows) -> dict:
+    """rows of (source, hu-int64-view) → {source: sorted uint64 k-mins}."""
+    import numpy as np
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["hu"])
+    return {s: np.sort(np.unique(np.array(v, np.int64).view(np.uint64)
+                                 ))[:KMV_K]
+            for s, v in by_src.items()}
+
+
+def kmv_source_sketch(sf_dir: str) -> pa.Table:
+    """(source, k_kept, kth_hash, distinct_est) per source."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    partials = ds.map_batches(
+        lambda t: kmv_partials(t.column("source").to_pylist(),
+                               t.column("text").to_pylist()),
+        batch_format="pyarrow")
+    merged = _kmv_merge(partials.take_all())
+    rows = []
+    for s in sorted(merged):
+        hs = merged[s]
+        k_kept = len(hs)
+        kth = int(hs[-1])
+        if k_kept < KMV_K:
+            est = float(k_kept)
+        else:
+            est = (KMV_K - 1) * float(1 << 64) / float(kth)
+        # int64 two's-complement VIEW of the uint64 hash (np.int64(big)
+        # would overflow; the SQL mirror applies the same 2^64 fold)
+        kth_i64 = np.array([kth], np.uint64).view(np.int64)[0].item()
+        rows.append({"source": s, "k_kept": k_kept,
+                     "kth_hash": kth_i64,
+                     "distinct_est": round(est, 4)})
+    return pa.table({k: pa.array([r[k] for r in rows])
+                     for k in ["source", "k_kept", "kth_hash",
+                               "distinct_est"]})
+
+
+def kmv_source_overlap(sf_dir: str) -> pa.Table:
+    """Cross-source overlap from the sketches alone: for each source
+    pair, union the two k-min lists, keep the k smallest, and count how
+    many sit in BOTH sketches — the theta-sketch intersection sample
+    (exactly reproducible in SQL)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    partials = ds.map_batches(
+        lambda t: kmv_partials(t.column("source").to_pylist(),
+                               t.column("text").to_pylist()),
+        batch_format="pyarrow")
+    merged = _kmv_merge(partials.take_all())
+    srcs = sorted(merged)
+    out = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            ha, hb = set(merged[a].tolist()), set(merged[b].tolist())
+            union_k = sorted(ha | hb)[:KMV_K]
+            common = sum(1 for h in union_k if h in ha and h in hb)
+            out.append({"source_a": a, "source_b": b,
+                        "n_common_in_unionk": common})
+    return pa.table({k: pa.array([r[k] for r in out])
+                     for k in ["source_a", "source_b",
+                               "n_common_in_unionk"]})
