@@ -126,6 +126,50 @@ def _sitemap_census(sf_dir: str) -> ray.data.Dataset:
     return sitemap_census(sf_dir)
 
 
+def _warc_extract_summary(sf_dir: str) -> ray.data.Dataset:
+    """Container → flagship, end to end: pages → .warc.gz shards →
+    read_warc → the SAME extraction pipeline → the SAME CASE-expressible
+    summary as extract_pages_summary. A wrong WARC frame, gzip member
+    boundary or payload byte would break the shared oracle."""
+    import tempfile
+
+    from text_extraction_system_ray.sources.pages import (pages_parquet,
+                                                          read_pages)
+    from text_extraction_system_ray.sources.warc import (read_warc,
+                                                         write_warc)
+
+    out_dir = tempfile.mkdtemp(prefix="tes_ray_warcx_")
+    pages = read_pages(pages_parquet(sf_dir),
+                       columns=["url", "warc_ts", "html"])
+    paths = write_warc(pages, out_dir)
+
+    def add_lang(t: pa.Table) -> pa.Table:
+        return t.append_column("lang", pa.array([""] * t.num_rows))
+
+    back = read_warc(paths).map_batches(add_lang, batch_format="pyarrow")
+    out = extract_dataset(back)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        ids = np.fromiter((int(u[-8:]) for u in t["url"].to_pylist()),
+                          np.int64, t.num_rows)
+        t = t.append_column("doc_id", pa.array(ids, pa.int64()))
+        t = t.filter(pa.array(ids % 41 != 7))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "status": t["status"],
+            "kind": t["kind"],
+            "title": t["title"],
+            "n_pages": pc.cast(pc.list_value_length(t["pages"]),
+                               pa.int64()),
+            "n_tables": pc.cast(pc.list_value_length(t["tables"]),
+                                pa.int64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def _warc_http_status(sf_dir: str) -> ray.data.Dataset:
     from text_extraction_system_ray.sources.warc import http_status_census
     return http_status_census(sf_dir)
@@ -392,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": _urldedup.crawl_frontier,
         # HTTP status-line parse through real WARC record bytes
         "warc_http_status": _warc_http_status,
+        # container → flagship: WARC shards feed the extraction pipeline
+        # and must reproduce extract_pages_summary's oracle exactly
+        "warc_extract_summary": _warc_extract_summary,
         # sitemaps.org protocol: build gz urlsets per source, parse them
         # back, census what the PARSER read (loc + lastmod grammar)
         "sitemap_census": _sitemap_census,
@@ -1639,6 +1686,24 @@ def oracle_sql() -> dict[str, str]:
         # empty (doc_id%53==11) families; PDF rows (doc_id%41==7) are
         # excluded (page count = greedy line wrap, not SQL-expressible)
         "extract_pages_summary": """
+            SELECT doc_id,
+                   'ok' AS status,
+                   CASE WHEN doc_id % 53 = 11 THEN 'empty'
+                        ELSE 'html' END AS kind,
+                   CASE WHEN doc_id % 53 = 11 THEN ''
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
+                             || ' (' || source || ')' END AS title,
+                   CASE WHEN doc_id % 53 = 11 THEN 0 ELSE 1 END AS n_pages,
+                   CASE WHEN doc_id % 53 = 11 THEN 0
+                        WHEN doc_id % 7 = 0 AND
+                             (CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(regexp_split_to_array(
+                                            trim(text), '\\s+')) END) > 12
+                        THEN 1 ELSE 0 END AS n_tables
+            FROM documents
+            WHERE doc_id % 41 <> 7
+        """,
+        "warc_extract_summary": """
             SELECT doc_id,
                    'ok' AS status,
                    CASE WHEN doc_id % 53 = 11 THEN 'empty'

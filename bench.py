@@ -150,7 +150,7 @@ def run_queries() -> dict:
               "charset_decode", "url_dedup", "robots_filter",
               "jsonld_extract", "crawl_frontier", "warc_http_status",
               "sitemap_census", "hll_distinct", "kmv_source_sketch",
-              "kmv_source_overlap"]
+              "kmv_source_overlap", "warc_extract_summary"]
     out = {}
     for name in picked:
         t0 = time.monotonic()
