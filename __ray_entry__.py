@@ -451,6 +451,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # intersection sample) — exactly reproducible via ROW_NUMBER<=k
         "kmv_source_sketch": _sketch.kmv_source_sketch,
         "kmv_source_overlap": _sketch.kmv_source_overlap,
+        # quantile estimation from a deterministic hash-bottom-k
+        # uniform sample ((hash → min value) dedup makes the sample a
+        # pure function of the data — the fixture has duplicate keys)
+        "hash_sample_quantiles": _sketch.hash_sample_quantiles,
         # RFC 9309 robots.txt evaluation: from-scratch parser (grouped
         # records, wildcard/$ rules, longest-match + allow-tie,
         # most-specific agent group), broadcast compiled rules,
@@ -1978,6 +1982,23 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(rho_numerator AS DOUBLE)
                          END, 4) AS estimate
             FROM f
+        """,
+        "hash_sample_quantiles": """
+            WITH h AS (
+              SELECT CAST(concat('0x', substr(md5(
+                         CAST(l_orderkey AS VARCHAR) || '-'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 16))
+                         AS UBIGINT) AS hu,
+                     CAST(l_extendedprice AS DOUBLE) AS value
+              FROM lineitem),
+            d AS (SELECT hu, MIN(value) AS value FROM h GROUP BY hu),
+            s AS (SELECT value FROM d ORDER BY hu LIMIT 1024)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+                   ROUND(quantile_cont(value, 0.25), 6) AS q25,
+                   ROUND(quantile_cont(value, 0.5), 6) AS q50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS q75,
+                   ROUND(quantile_cont(value, 0.95), 6) AS q95
+            FROM s
         """,
         "kmv_source_sketch": """
             WITH w AS (

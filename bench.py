@@ -150,7 +150,8 @@ def run_queries() -> dict:
               "charset_decode", "url_dedup", "robots_filter",
               "jsonld_extract", "crawl_frontier", "warc_http_status",
               "sitemap_census", "hll_distinct", "kmv_source_sketch",
-              "kmv_source_overlap", "warc_extract_summary"]
+              "kmv_source_overlap", "warc_extract_summary",
+              "hash_sample_quantiles"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -72,3 +72,32 @@ def test_kmv_merge_law_and_overlap():
     for s in ("s1", "s2"):
         assert merged[s].tolist() == want[s].tolist()
         assert len(merged[s]) <= KMV_K
+
+
+def test_qsample_dedup_and_schedule_invariance():
+    """Bottom-k by hash with (hash → min value) dedup: merging per-batch
+    partials equals one-shot sampling regardless of batch split — incl.
+    duplicate keys carrying different values."""
+    import numpy as np
+    from text_extraction_system_ray.pipelines.sketch import (
+        QSAMPLE_K, qsample_partials)
+    keys = [f"k{i % 700}" for i in range(2000)]          # dups galore
+    vals = [float((i * 37) % 997) for i in range(2000)]
+    whole = qsample_partials(keys, vals)
+
+    def merge(tables):
+        h = np.concatenate([t.column("hu").to_numpy() for t in tables])
+        v = np.concatenate([t.column("value").to_numpy() for t in tables])
+        hu = h.view(np.uint64)
+        order = np.lexsort((v, hu))
+        hu, v = hu[order], v[order]
+        first = np.concatenate([[True], hu[1:] != hu[:-1]])
+        return hu[first][:QSAMPLE_K], v[first][:QSAMPLE_K]
+
+    for split in (3, 7, 311):
+        parts = [qsample_partials(keys[i:i + split], vals[i:i + split])
+                 for i in range(0, 2000, split)]
+        mh, mv = merge(parts)
+        wh, wv = merge([whole])
+        assert mh.tolist() == wh.tolist()
+        assert mv.tolist() == wv.tolist()

@@ -190,3 +190,62 @@ def kmv_source_overlap(sf_dir: str) -> pa.Table:
     return pa.table({k: pa.array([r[k] for r in out])
                      for k in ["source_a", "source_b",
                                "n_common_in_unionk"]})
+
+
+# --- hash-bottom-k uniform sample → quantile estimates -----------------
+# Classic order-independent quantile sketches (KLL/GK) compact by
+# arrival order, which kills oracle reproducibility. Bottom-k BY HASH
+# is the deterministic alternative used in practice: the k rows with
+# the smallest md5(rowkey) are a uniform sample fixed by the DATA, not
+# the schedule — per-batch bottom-k partials merge by global bottom-k,
+# and the quantile estimates (np linear interpolation ≡ SQL
+# quantile_cont) reproduce exactly.
+QSAMPLE_K = 1024
+
+
+def qsample_partials(keys: List[str], values) -> pa.Table:
+    """Bottom-k DISTINCT hashes with min-value tie resolution — the
+    fixture's keys are NOT unique (45.8k distinct over 60k lineitem
+    rows), so without dedup the sample MULTISET depends on which copies
+    each batch truncates (schedule-dependent). (hash → min value) makes
+    the sample a pure function of the data."""
+    import numpy as np
+    h = _md5_low64(keys)
+    vals = np.asarray(values, np.float64)
+    order = np.lexsort((vals, h))            # by hash, then value
+    h, vals = h[order], vals[order]
+    first = np.concatenate([[True], h[1:] != h[:-1]])
+    h, vals = h[first], vals[first]          # min value per distinct hash
+    return pa.table({"hu": pa.array(h[:QSAMPLE_K].view(np.int64)),
+                     "value": pa.array(vals[:QSAMPLE_K], pa.float64())})
+
+
+def hash_sample_quantiles(sf_dir: str) -> pa.Table:
+    """Quantiles of lineitem.l_extendedprice from a deterministic
+    1024-row hash-bottom-k sample: one row
+    (n_sample, q25, q50, q75, q95)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        keys = [f"{o}-{ln}" for o, ln in
+                zip(t.column("l_orderkey").to_pylist(),
+                    t.column("l_linenumber").to_pylist())]
+        return qsample_partials(
+            keys, t.column("l_extendedprice").to_numpy(
+                zero_copy_only=False))
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    h = np.array([r["hu"] for r in rows], np.int64).view(np.uint64)
+    v = np.array([r["value"] for r in rows], np.float64)
+    order = np.lexsort((v, h))               # same merge rule as partials
+    h, v = h[order], v[order]
+    first = np.concatenate([[True], h[1:] != h[:-1]])
+    sample = v[first][:QSAMPLE_K]
+    qs = {f"q{int(q * 100)}": round(float(np.quantile(sample, q)), 6)
+          for q in (0.25, 0.5, 0.75, 0.95)}
+    out = {"n_sample": len(sample), **qs}
+    return pa.table({k: pa.array([val]) for k, val in out.items()})
