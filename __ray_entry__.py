@@ -126,27 +126,52 @@ def _sitemap_census(sf_dir: str) -> ray.data.Dataset:
     return sitemap_census(sf_dir)
 
 
+def _warc_shards(sf_dir: str) -> list[str]:
+    """Materialized .warc.gz shards for ``sf_dir`` (cached under /tmp
+    with the same key discipline as ``pages_parquet`` — a fresh mkdtemp
+    per query call would leak a shard set every run)."""
+    import glob
+    import os
+    import shutil
+
+    from text_extraction_system_ray.sources.pages import (
+        PAGES_FIXTURE_VERSION, pages_parquet, read_pages)
+    from text_extraction_system_ray.sources.warc import write_warc
+
+    pages_dir = pages_parquet(sf_dir)
+    out = os.path.join("/tmp/tes_ray_warc",
+                       os.path.basename(pages_dir)
+                       + f"-v{PAGES_FIXTURE_VERSION}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        tmp = f"{out}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_warc(read_pages(pages_dir,
+                              columns=["url", "warc_ts", "html"]), tmp)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(marker):
+                shutil.rmtree(out, ignore_errors=True)
+                return _warc_shards(sf_dir)
+    return sorted(glob.glob(os.path.join(out, "*.warc.gz")))
+
+
 def _warc_extract_summary(sf_dir: str) -> ray.data.Dataset:
     """Container → flagship, end to end: pages → .warc.gz shards →
     read_warc → the SAME extraction pipeline → the SAME CASE-expressible
     summary as extract_pages_summary. A wrong WARC frame, gzip member
     boundary or payload byte would break the shared oracle."""
-    import tempfile
-
-    from text_extraction_system_ray.sources.pages import (pages_parquet,
-                                                          read_pages)
-    from text_extraction_system_ray.sources.warc import (read_warc,
-                                                         write_warc)
-
-    out_dir = tempfile.mkdtemp(prefix="tes_ray_warcx_")
-    pages = read_pages(pages_parquet(sf_dir),
-                       columns=["url", "warc_ts", "html"])
-    paths = write_warc(pages, out_dir)
+    from text_extraction_system_ray.sources.warc import read_warc
 
     def add_lang(t: pa.Table) -> pa.Table:
         return t.append_column("lang", pa.array([""] * t.num_rows))
 
-    back = read_warc(paths).map_batches(add_lang, batch_format="pyarrow")
+    back = read_warc(_warc_shards(sf_dir)).map_batches(
+        add_lang, batch_format="pyarrow")
     out = extract_dataset(back)
 
     def summarize(t: pa.Table) -> pa.Table:
@@ -181,19 +206,9 @@ def _warc_source_counts(sf_dir: str) -> ray.data.Dataset:
     a wrong WARC header/Content-Length/gzip-member boundary breaks the
     count/kind columns; exact payload byte-equality is pinned in
     tests/test_warc.py."""
-    import tempfile
+    from text_extraction_system_ray.sources.warc import read_warc
 
-    import pyarrow.compute as pc
-
-    from text_extraction_system_ray.sources.pages import (pages_parquet,
-                                                          read_pages)
-    from text_extraction_system_ray.sources.warc import read_warc, write_warc
-
-    out_dir = tempfile.mkdtemp(prefix="tes_ray_warc_")
-    pages = read_pages(pages_parquet(sf_dir),
-                       columns=["url", "warc_ts", "html"])
-    paths = write_warc(pages, out_dir)
-    ds = read_warc(paths)
+    ds = read_warc(_warc_shards(sf_dir))
 
     def census(t: pa.Table) -> pa.Table:
         import numpy as np
