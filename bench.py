@@ -178,7 +178,8 @@ def main() -> None:
     # report the better run — both attempts are recorded so the
     # variance itself stays visible.
     load_before = os.getloadavg()
-    attempts = [run_headline(pages) for _ in range(2)]
+    n_attempts = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "2"))
+    attempts = [run_headline(pages) for _ in range(n_attempts)]
     headline = min(attempts, key=lambda a: a["sec"])
     headline["attempt_secs"] = [a["sec"] for a in attempts]
     log(f"[bench] headline: {headline}")
