@@ -87,11 +87,15 @@ def _assign_batch(t: pa.Table, seeds_ref) -> pa.Table:
     # over (-2 q·s + |s|²)
     d2 = -2 * (q @ seeds.T) + seed_norms[None, :]
     cluster = np.argmin(d2, axis=1).astype(np.int64)
+    n, d = q.shape
+    qvec = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+        pa.array(q.ravel(), pa.int64()))
     return pa.table({
         "vec_id": t.column("vec_id").cast(pa.int64()),
         "cluster_id": pa.array(cluster, pa.int64()),
         "qnorm": pa.array(norms, pa.int64()),
-        "qvec": pa.array(list(q), pa.list_(pa.int64())),
+        "qvec": qvec,
     })
 
 
