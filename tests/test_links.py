@@ -126,3 +126,23 @@ def test_title_fast_path_fuzz_parity():
         _, want, _ = parse_html_blocks(soup, cfg)
         got = title_of_payload(payload)
         assert got == want, repr(soup)
+
+
+def test_scan_batch_resolves_relative_hrefs():
+    """RFC 3986 resolution in the scanner: relative and absolute
+    spellings of an internal link classify identically."""
+    import pyarrow as pa
+    from text_extraction_system_ray.pipelines.links import _scan_batch
+    html = (b'<html><body>'
+            b'<a href="../doc/00000005">rel</a>'
+            b'<a href="https://example.org/doc/00000006">abs</a>'
+            b'<a href="/doc/00000007">pathabs</a>'
+            b'<a href="https://other.org/doc/00000008">foreign</a>'
+            b'<a href="nested/page">plain-rel</a>'
+            b"</body></html>")
+    t = pa.table({"url": ["https://example.org/web/00000001"],
+                  "html": [html]})
+    s = _scan_batch(t)
+    assert s["n_int"][0] == 3
+    assert sorted(s["targets"].tolist()) == [5, 6, 7]
+    assert s["n_ext"][0] == 2

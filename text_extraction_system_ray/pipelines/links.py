@@ -48,11 +48,19 @@ from ..sources.pages import pages_parquet, read_pages
 # hrefs in live markup, so the oracle pins the scan exactly there.
 _HREF_RE = re.compile(rb"""href\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
 _INTERNAL_RE = re.compile(rb"^/doc/(\d{8})$")
+# internal links AFTER RFC 3986 resolution against the page URL —
+# matches path-absolute, relative and absolute spellings alike
+_INTERNAL_ABS_RE = re.compile(r"^https://example\.org/doc/(\d{8})$")
 
 
 def _scan_batch(t: pa.Table) -> dict:
-    """Extract hrefs from one Arrow batch. Returns (doc_ids, per-doc
-    internal/external counts, flat internal-target array)."""
+    """Extract hrefs from one Arrow batch, RESOLVING each against the
+    page URL (RFC 3986 §5 — crawl hrefs are mostly relative; the
+    resolver is pinned by the spec's own §5.4 vectors). Returns
+    (doc_ids, per-doc internal/external counts, flat internal-target
+    array)."""
+    from ..functions.urlresolve import resolve
+
     urls = t.column("url").to_pylist()
     payloads = t.column("html").to_pylist()
     n = len(urls)
@@ -60,14 +68,15 @@ def _scan_batch(t: pa.Table) -> dict:
     n_int = np.zeros(n, np.int64)
     n_ext = np.zeros(n, np.int64)
     targets: list = []
-    for i, payload in enumerate(payloads):
+    for i, (page_url, payload) in enumerate(zip(urls, payloads)):
         if not payload or not payload.startswith(b"<html"):
             continue
         ints = 0
         exts = 0
         for m in _HREF_RE.finditer(payload):
-            href = m.group(1) if m.group(1) is not None else m.group(2)
-            im = _INTERNAL_RE.match(href)
+            href = (m.group(1) if m.group(1) is not None
+                    else m.group(2)).decode("utf-8", errors="replace")
+            im = _INTERNAL_ABS_RE.match(resolve(page_url, href))
             if im:
                 ints += 1
                 targets.append(int(im.group(1)))
