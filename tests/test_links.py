@@ -146,3 +146,18 @@ def test_scan_batch_resolves_relative_hrefs():
     assert s["n_int"][0] == 3
     assert sorted(s["targets"].tolist()) == [5, 6, 7]
     assert s["n_ext"][0] == 2
+
+
+def test_base_href_overrides_resolution_base():
+    import pyarrow as pa
+    from text_extraction_system_ray.pipelines.links import _scan_batch
+    html = (b'<html><head><base href="https://example.org/doc/"></head>'
+            b'<body><a href="00000009">rel-to-base</a>'
+            b'<a href="../web/x">up</a></body></html>')
+    t = pa.table({"url": ["https://example.org/web/00000001"],
+                  "html": [html]})
+    s = _scan_batch(t)
+    # "00000009" resolves against the <base>, not the page URL; the
+    # base tag's own href is not counted as a link
+    assert s["n_int"][0] == 1 and s["targets"].tolist() == [9]
+    assert s["n_ext"][0] == 1

@@ -47,6 +47,8 @@ from ..sources.pages import pages_parquet, read_pages
 # tradeoff and runs the real tokenizer). The planted fixture keeps all
 # hrefs in live markup, so the oracle pins the scan exactly there.
 _HREF_RE = re.compile(rb"""href\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
+_BASE_RE = re.compile(
+    rb"""<base\s[^>]*href\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
 _INTERNAL_RE = re.compile(rb"^/doc/(\d{8})$")
 # internal links AFTER RFC 3986 resolution against the page URL —
 # matches path-absolute, relative and absolute spellings alike
@@ -71,9 +73,20 @@ def _scan_batch(t: pa.Table) -> dict:
     for i, (page_url, payload) in enumerate(zip(urls, payloads)):
         if not payload or not payload.startswith(b"<html"):
             continue
+        # <base href> overrides the resolution base (itself resolved
+        # against the page URL, per HTML's document-base rules)
+        bm = _BASE_RE.search(payload)
+        base_span = (-1, -1)
+        if bm is not None:
+            base_href = (bm.group(1) if bm.group(1) is not None
+                         else bm.group(2)).decode("utf-8", errors="replace")
+            page_url = resolve(page_url, base_href)
+            base_span = bm.span()
         ints = 0
         exts = 0
         for m in _HREF_RE.finditer(payload):
+            if base_span[0] <= m.start() < base_span[1]:
+                continue                     # the <base> tag's own href
             href = (m.group(1) if m.group(1) is not None
                     else m.group(2)).decode("utf-8", errors="replace")
             im = _INTERNAL_ABS_RE.match(resolve(page_url, href))
