@@ -470,6 +470,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uniform sample ((hash → min value) dedup makes the sample a
         # pure function of the data — the fixture has duplicate keys)
         "hash_sample_quantiles": _sketch.hash_sample_quantiles,
+        # bloom membership index: distinct set-bit shuffle → broadcast
+        # bitmap → vectorized probes; the BIT ARRAY (false positives
+        # included) reproduces exactly in SQL
+        "bloom_probe": _sketch.bloom_probe,
         # RFC 9309 robots.txt evaluation: from-scratch parser (grouped
         # records, wildcard/$ rules, longest-match + allow-tie,
         # most-specific agent group), broadcast compiled rules,
@@ -1997,6 +2001,34 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(rho_numerator AS DOUBLE)
                          END, 4) AS estimate
             FROM f
+        """,
+        "bloom_probe": """
+            WITH built AS (
+              SELECT DISTINCT
+                ((CAST(concat('0x', substr(md5(text), 1, 16)) AS UBIGINT)
+                  % 131072)
+                 + i.i * (CAST(concat('0x', substr(md5(text), 17, 16))
+                          AS UBIGINT) % 131072)) % 131072 AS bit
+              FROM documents CROSS JOIN range(0, 7) i(i)),
+            probes AS (
+              SELECT doc_id AS probe_id, text AS key
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id + 10000000,
+                     'absent-' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 2 <> 0),
+            ppos AS (
+              SELECT probe_id,
+                ((CAST(concat('0x', substr(md5(key), 1, 16)) AS UBIGINT)
+                  % 131072)
+                 + i.i * (CAST(concat('0x', substr(md5(key), 17, 16))
+                          AS UBIGINT) % 131072)) % 131072 AS bit
+              FROM probes CROSS JOIN range(0, 7) i(i))
+            SELECT p.probe_id,
+                   (COUNT(*) = SUM(CASE WHEN b.bit IS NOT NULL
+                                        THEN 1 ELSE 0 END)) AS hit
+            FROM ppos p LEFT JOIN built b USING (bit)
+            GROUP BY 1
         """,
         "hash_sample_quantiles": """
             WITH h AS (

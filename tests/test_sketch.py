@@ -101,3 +101,24 @@ def test_qsample_dedup_and_schedule_invariance():
         wh, wv = merge([whole])
         assert mh.tolist() == wh.tolist()
         assert mv.tolist() == wv.tolist()
+
+
+def test_bloom_positions_deterministic_and_bounded():
+    import numpy as np
+    from text_extraction_system_ray.pipelines.sketch import (
+        BLOOM_K, BLOOM_M, bloom_positions)
+    pos = bloom_positions(["a", "b", "a"])
+    assert pos.shape == (3, BLOOM_K)
+    assert (pos >= 0).all() and (pos < BLOOM_M).all()
+    assert (pos[0] == pos[2]).all()          # same key → same bits
+    assert not (pos[0] == pos[1]).all()
+
+
+def test_bloom_no_false_negatives():
+    import numpy as np
+    from text_extraction_system_ray.pipelines.sketch import (
+        BLOOM_M, bloom_positions)
+    keys = [f"k{i}" for i in range(2000)]
+    bm = np.zeros(BLOOM_M, bool)
+    bm[np.unique(bloom_positions(keys))] = True
+    assert bm[bloom_positions(keys)].all()   # every built key probes True

@@ -249,3 +249,86 @@ def hash_sample_quantiles(sf_dir: str) -> pa.Table:
           for q in (0.25, 0.5, 0.75, 0.95)}
     out = {"n_sample": len(sample), **qs}
     return pa.table({k: pa.array([val]) for k, val in out.items()})
+
+
+# --- Bloom filter (oracle-reproducible bits) ---------------------------
+# The shared-membership-index class: build a bit array over corpus keys,
+# probe another set. Kirsch-Mitzenmacher double hashing over the two
+# md5-low64 halves gives k=7 positions per key; working mod BLOOM_M in
+# SMALL integers keeps both numpy and DuckDB overflow-free, so the BIT
+# ARRAY — false positives included — reproduces exactly in SQL.
+BLOOM_M = 1 << 17          # bits
+BLOOM_K = 7
+
+
+def _md5_two_halves(keys: List[str]):
+    """(low64(md5), next64(md5)) — both hex substrings, oracle-parity."""
+    import numpy as np
+    try:
+        import duckdb
+        if keys:
+            con = duckdb.connect()
+            gt = pa.table({"g": pa.array(keys, pa.string())})
+            con.register("gt", gt)
+            out = con.execute(
+                "SELECT CAST(concat('0x', substr(md5(g), 1, 16)) AS UBIGINT)"
+                " AS h1, CAST(concat('0x', substr(md5(g), 17, 16)) AS"
+                " UBIGINT) AS h2 FROM gt").arrow()
+            con.close()
+            return (out["h1"].to_numpy().astype(np.uint64),
+                    out["h2"].to_numpy().astype(np.uint64))
+    except ImportError:                      # pragma: no cover - env gate
+        pass
+    import hashlib
+    d = [hashlib.md5((g or "").encode()).digest() for g in keys]
+    return (np.array([int.from_bytes(x[:8], "big") for x in d], np.uint64),
+            np.array([int.from_bytes(x[8:16], "big") for x in d], np.uint64))
+
+
+def bloom_positions(keys: List[str]):
+    """(n, BLOOM_K) int64 bit positions per key."""
+    import numpy as np
+    h1, h2 = _md5_two_halves(keys)
+    a = (h1 % BLOOM_M).astype(np.int64)
+    b = (h2 % BLOOM_M).astype(np.int64)
+    i = np.arange(BLOOM_K, dtype=np.int64)
+    return (a[:, None] + i[None, :] * b[:, None]) % BLOOM_M
+
+
+def bloom_probe(sf_dir: str) -> pa.Table:
+    """Build a bloom over documents.text; probe half the corpus texts
+    (present) plus planted 'absent-{doc_id}' strings. Output
+    (probe_id, hit) — false positives and all reproduce in SQL."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def set_bits(t: pa.Table) -> pa.Table:
+        pos = bloom_positions(t.column("text").to_pylist())
+        return pa.table({"bit": pa.array(np.unique(pos), pa.int64())})
+
+    bits_rows = ds.map_batches(set_bits, batch_format="pyarrow") \
+                  .groupby("bit").count().take_all()
+    bitmap = np.zeros(BLOOM_M, bool)
+    bitmap[[r["bit"] for r in bits_rows]] = True
+    bitmap_ref = ray.put(bitmap)
+
+    def probe(t: pa.Table, ref=bitmap_ref) -> pa.Table:
+        bm = ray.get(ref)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        probe_ids, keys = [], []
+        for d, txt in zip(ids, texts):
+            if d % 2 == 0:
+                probe_ids.append(int(d))
+                keys.append(txt or "")
+            else:
+                probe_ids.append(int(d) + 10_000_000)
+                keys.append(f"absent-{d}")
+        pos = bloom_positions(keys)
+        hit = bm[pos].all(axis=1)
+        return pa.table({"probe_id": pa.array(probe_ids, pa.int64()),
+                         "hit": pa.array(hit)})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
