@@ -449,6 +449,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frontier composition: canonicalize → dedup → RFC 9309 gate
         # (matched on path+query) → per-source census
         "crawl_frontier": _urldedup.crawl_frontier,
+        # graph analytics #2: transitive triangles via the standard
+        # wedge-build + close plan (two hash-partitioned Dataset.joins)
+        "link_triangles": _links.link_triangles,
         # HTTP status-line parse through real WARC record bytes
         "warc_http_status": _warc_http_status,
         # container → flagship: WARC shards feed the extraction pipeline
@@ -2134,6 +2137,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT http_status, count(*) AS n_records,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
             FROM s GROUP BY 1
+        """,
+        "link_triangles": """
+            WITH params AS (SELECT count(*) AS total FROM documents),
+            edges AS (
+              SELECT DISTINCT d.doc_id AS src,
+                     (d.doc_id * 31 + 97 * j.j) % p.total AS dst
+              FROM documents d CROSS JOIN params p
+              JOIN range(1, 6) j(j) ON j.j <= 1 + d.doc_id % 5
+              WHERE d.doc_id % 53 <> 11 AND d.doc_id % 41 <> 7
+                AND (d.doc_id * 31 + 97 * j.j) % p.total <> d.doc_id)
+            SELECT (SELECT count(*) FROM edges) AS n_edges,
+                   (SELECT count(*) FROM edges a
+                    JOIN edges b ON b.src = a.dst
+                    JOIN edges c ON c.src = a.src AND c.dst = b.dst
+                    WHERE a.src <> b.dst) AS n_triangles
         """,
         # generic agent: Disallow /s/*0$ overridden by the longer
         # Allow /s/*00$; specific agent group REPLACES the generic one

@@ -151,7 +151,7 @@ def run_queries() -> dict:
               "jsonld_extract", "crawl_frontier", "warc_http_status",
               "sitemap_census", "hll_distinct", "kmv_source_sketch",
               "kmv_source_overlap", "warc_extract_summary",
-              "hash_sample_quantiles", "bloom_probe"]
+              "hash_sample_quantiles", "bloom_probe", "link_triangles"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -94,7 +94,7 @@ def test_all_queries_run(entrymod):
     "robots_filter", "jsonld_extract", "crawl_frontier", "warc_http_status",
     "sitemap_census", "hll_distinct", "kmv_source_sketch",
     "kmv_source_overlap", "warc_extract_summary", "hash_sample_quantiles",
-    "bloom_probe",
+    "bloom_probe", "link_triangles",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):
     ray_df = _norm(_to_df(entrymod.queries()[name](SF_DIR)))

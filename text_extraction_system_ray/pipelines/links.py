@@ -364,3 +364,81 @@ def jsonld_extract(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, jsonld_type, headline, char_count, publisher) for every
     HTML page carrying a schema.org block."""
     return _pages(sf_dir).map_batches(_jsonld_batch, batch_format="pyarrow")
+
+
+# --- triangle counting over the link graph -----------------------------
+def _edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct directed edges (src_doc, dst_doc) extracted from the
+    HTML payloads (self-loops dropped)."""
+    def edge_batch(t: pa.Table) -> pa.Table:
+        s = _scan_batch_edges(t)
+        return s
+
+    return _pages(sf_dir).map_batches(edge_batch, batch_format="pyarrow")
+
+
+def _scan_batch_edges(t: pa.Table) -> pa.Table:
+    from ..functions.urlresolve import resolve
+    urls = t.column("url").to_pylist()
+    payloads = t.column("html").to_pylist()
+    pairs = set()
+    for page_url, payload in zip(urls, payloads):
+        if not payload or not payload.startswith(b"<html"):
+            continue
+        src = int(page_url[-8:])
+        for m in _HREF_RE.finditer(payload):
+            href = (m.group(1) if m.group(1) is not None
+                    else m.group(2)).decode("utf-8", errors="replace")
+            im = _INTERNAL_ABS_RE.match(resolve(page_url, href))
+            if im:
+                dst = int(im.group(1))
+                if dst != src:
+                    pairs.add((src, dst))
+    src_a, dst_a = (zip(*sorted(pairs)) if pairs else ((), ()))
+    return pa.table({"src": pa.array(list(src_a), pa.int64()),
+                     "dst": pa.array(list(dst_a), pa.int64())})
+
+
+def link_triangles(sf_dir: str) -> pa.Table:
+    """Transitive-triangle count over the link graph: ordered triples
+    (u,v,w), all distinct, with edges u→v, v→w and u→w — the standard
+    two-join plan (wedge build on the middle node, close against the
+    edge set), both joins hash-partitioned ``Dataset.join``s. Output:
+    one row (n_edges, n_triangles)."""
+    import pyarrow.compute as pc
+
+    edges = _edges(sf_dir)
+    # distinct edges corpus-wide (batch combiner already dedupes within
+    # a batch; the groupby dedupes across batches)
+    distinct = edges.groupby(["src", "dst"]).count()
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"), "dst": t.column("dst")})
+
+    e1 = distinct.map_batches(project, batch_format="pyarrow")
+    n_edges = e1.count()
+    # wedges: u→v joined v→w on the middle node
+    e2 = e1.map_batches(
+        lambda t: pa.table({"v2": t.column("src"), "w": t.column("dst")}),
+        batch_format="pyarrow")
+    wedges = e1.join(e2, join_type="inner", num_partitions=4,
+                     on=("dst",), right_on=("v2",))
+    # close the wedge: (u, w) must itself be an edge; drop u == w
+    e3 = e1.map_batches(
+        lambda t: pa.table({"u2": t.column("src"), "w2": t.column("dst"),
+                            "closed": pa.array([1] * t.num_rows,
+                                               pa.int64())}),
+        batch_format="pyarrow")
+    closed = wedges.join(e3, join_type="inner", num_partitions=4,
+                         on=("src", "w"), right_on=("u2", "w2"))
+
+    def count_valid(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("src"), t.column("w"))
+        return pa.table({"n": pa.array([pc.sum(pc.cast(keep, pa.int64()))
+                                        .as_py() or 0], pa.int64())})
+
+    n_tri = sum(r["n"] for r in
+                closed.map_batches(count_valid,
+                                   batch_format="pyarrow").take_all())
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})
