@@ -268,14 +268,21 @@ _A_INNER_RE = re.compile(
 
 def _anchor_pairs_batch(t: pa.Table) -> pa.Table:
     import html as _html
+
+    from ..functions.urlresolve import resolve
+
+    urls = t.column("url").to_pylist()
     payloads = t.column("html").to_pylist()
     pairs: dict = {}
-    for payload in payloads:
+    for page_url, payload in zip(urls, payloads):
         if not payload or not payload.startswith(b"<html"):
             continue
         for m in _A_INNER_RE.finditer(payload):
-            href = m.group(1) if m.group(1) is not None else m.group(2)
-            im = _INTERNAL_RE.match(href)
+            href = (m.group(1) if m.group(1) is not None
+                    else m.group(2)).decode("utf-8", errors="replace")
+            # same RFC 3986 resolution rule as _scan_batch, so relative
+            # and absolute spellings contribute anchors identically
+            im = _INTERNAL_ABS_RE.match(resolve(page_url, href))
             if im is None:
                 continue
             raw = m.group(3).decode("utf-8", errors="replace")
