@@ -728,8 +728,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM r GROUP BY doc_id
             )
             SELECT d.doc_id,
-                   COALESCE(n_windows, 0) AS n_windows,
-                   COALESCE(n_dup, 0) AS n_dup_windows,
+                   CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_windows,
                    CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0.0
                         ELSE n_dup * 1.0 / n_windows END AS dup_fraction
             FROM documents d LEFT JOIN agg USING (doc_id)
@@ -750,8 +750,10 @@ def oracle_sql() -> dict[str, str]:
                            AND 1 PRECEDING), 0) AS off
                 FROM t
             )
-            SELECT doc_id, nt AS n_tokens, off AS start_off,
-                   off // 128 AS seq_first, (off + nt) // 128 AS seq_last
+            SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(off AS BIGINT) AS start_off,
+                   CAST(off // 128 AS BIGINT) AS seq_first,
+                   CAST((off + nt) // 128 AS BIGINT) AS seq_last
             FROM c
         """,
         # URL signals: the oracle rebuilds the deterministic URLs and
@@ -826,8 +828,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type, count(*) AS n_events,
-                   SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_invalid,
-                   COALESCE(SUM(k), 0) AS sum_k,
+                   CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_invalid,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
                    MIN(k) AS min_k, MAX(k) AS max_k,
                    CASE WHEN count(k) > 0
                         THEN SUM(k) * 1.0 / count(k)
@@ -1747,6 +1750,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 41 <> 7
         """,
+        # language ID over the raw corpus: the deterministic synthetic
+        # text always classifies 'en' (detector + corpus both
+        # deterministic; verified at sf0.001/0.01/0.1), and the folded-in
+        # planted column re-runs the detector over script-transliterated
+        # text whose expected verdict is pure doc_id arithmetic — one
+        # query value-checks all five script families (VERDICT r4 #2)
+        "lang_id": """
+            SELECT doc_id, lang AS lang_hint, 'en' AS detected_lang,
+                   CASE WHEN doc_id % 5 <> 0
+                             AND regexp_matches(text, '[A-Za-z]')
+                        THEN CASE doc_id % 5 WHEN 1 THEN 'ru'
+                                             WHEN 2 THEN 'el'
+                                             WHEN 3 THEN 'zh'
+                                             ELSE 'ko' END
+                        ELSE '' END AS planted_lang
+            FROM documents
+        """,
         # planted-script language ID: docs transliterated into
         # Cyrillic/Greek/CJK/Hangul by doc_id%5 must classify to that
         # script's language (marker-free Cyrillic range → exactly 'ru')
@@ -1796,10 +1816,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages,
                    min(doc_id) AS min_doc_id,
                    max(doc_id) AS max_doc_id,
-                   sum(CASE WHEN doc_id % 53 = 11 THEN 1 ELSE 0 END)
-                       AS n_empty,
-                   sum(CASE WHEN doc_id % 53 <> 11 AND doc_id % 41 = 7
-                            THEN 1 ELSE 0 END) AS n_pdf
+                   CAST(sum(CASE WHEN doc_id % 53 = 11 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_empty,
+                   CAST(sum(CASE WHEN doc_id % 53 <> 11 AND doc_id % 41 = 7
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pdf
             FROM documents GROUP BY source
         """,
         # SemDedup: quantize q = FLOOR(x*1024 + 0.5) in float64 (identical

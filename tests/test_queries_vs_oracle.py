@@ -78,7 +78,7 @@ def test_all_queries_run(entrymod):
     "neardup_clusters",
     # r4 additions: the flagship extraction's CASE-expressible summary
     # and the planted-script language-ID gate
-    "extract_pages_summary", "lang_id_planted", "repetition_signals",
+    "extract_pages_summary", "lang_id", "lang_id_planted", "repetition_signals",
     "decontaminate", "pii_redact", "video_metadata",
     "substring_dup_stats", "sequence_packing", "url_stats",
     "json_props_stats", "fix_mojibake", "snapshot_delta", "vocab_topk",

@@ -232,16 +232,36 @@ def repetition_signals(sf_dir: str) -> ray.data.Dataset:
 
 class LangId:
     """Stateful language-ID stage (actor pool): profiles compiled once per
-    actor in __init__ (M24 analog)."""
+    actor in __init__ (M24 analog).
+
+    Oracle design (VERDICT r4 item 2): ``detected_lang`` is the REAL
+    detector over the raw text — on the deterministic synthetic corpus
+    every row classifies 'en', so the oracle pins the detector against
+    misfires on English text.  ``planted_lang`` folds the planted-script
+    gate in: families ``doc_id % 5 ∈ {1..4}`` (with ≥1 ASCII letter) are
+    transliterated into Cyrillic/Greek/CJK/Hangul and re-detected; the
+    expected verdict is pure doc_id arithmetic ('' for non-planted rows),
+    so one query value-checks all five script families."""
 
     def __init__(self):
         from ..functions import lang as _lang
         self._detect = _lang.detect_language
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        det = [self._detect(x or "") for x in t.column("text").to_pylist()]
+        texts = t.column("text").to_pylist()
+        ids = t["doc_id"].to_numpy()
+        det = [self._detect(x or "") for x in texts]
+        planted = []
+        for d, x in zip(ids, texts):
+            fam = int(d) % 5
+            if fam == 0 or not _HAS_ALPHA.search(x or ""):
+                planted.append("")
+            else:
+                planted.append(self._detect(
+                    (x or "").translate(_PLANT_TABLES[fam])))
         return pa.table({"doc_id": t["doc_id"], "lang_hint": t["lang"],
-                         "detected_lang": pa.array(det, pa.string())})
+                         "detected_lang": pa.array(det, pa.string()),
+                         "planted_lang": pa.array(planted, pa.string())})
 
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
