@@ -161,3 +161,52 @@ def test_base_href_overrides_resolution_base():
     # base tag's own href is not counted as a link
     assert s["n_int"][0] == 1 and s["targets"].tolist() == [9]
     assert s["n_ext"][0] == 1
+
+
+# ------------------------------------------------------- link_triangles
+
+def test_link_triangles_plans_pinned_equal(ray_session, monkeypatch):
+    """The guarded driver finish, the distributed two-join plan and its
+    hot-middle-node broadcast path must all return the same
+    (n_edges, n_triangles) on the planted corpus — the same
+    monkeypatch-the-guard pattern as test_dedup_scale_paths."""
+    from text_extraction_system_ray.pipelines import links
+
+    base = links.link_triangles(SF).to_pandas()
+    assert base.loc[0, "n_edges"] > 0
+
+    monkeypatch.setattr(links, "TRIANGLE_DRIVER_EDGE_LIMIT", 0)
+    dist = links.link_triangles(SF).to_pandas()
+    assert base.equals(dist)
+
+    monkeypatch.setattr(links, "TRIANGLE_WEDGE_CAP", 0)
+    allhot = links.link_triangles(SF).to_pandas()
+    assert base.equals(allhot)
+
+    monkeypatch.setattr(links, "TRIANGLE_WEDGE_CAP", 30)
+    mixed = links.link_triangles(SF).to_pandas()
+    assert base.equals(mixed)
+
+
+def test_link_triangles_driver_kernel_small_graph(ray_session):
+    """Hand-checkable 5-node graph: edges form exactly two transitive
+    triangles (1→2→3, 1→3) and (2→3→4, 2→4); the hub-limit guard defers
+    to the distributed plan when the wedge total exceeds it."""
+    import pyarrow as pa
+    import ray.data as rd
+    from text_extraction_system_ray.pipelines import links
+
+    edges = pa.table({
+        "src": pa.array([1, 2, 1, 3, 2, 4, 5], pa.int64()),
+        "dst": pa.array([2, 3, 3, 4, 4, 5, 1], pa.int64())})
+    raw = rd.from_arrow(edges).materialize()
+    out = links._driver_triangles(raw).to_pandas()
+    assert out.loc[0, "n_edges"] == 7
+    assert out.loc[0, "n_triangles"] == 2
+    # wedge-limit guard: kernel declines, caller falls to distributed
+    old = links.TRIANGLE_DRIVER_WEDGE_LIMIT
+    try:
+        links.TRIANGLE_DRIVER_WEDGE_LIMIT = 0
+        assert links._driver_triangles(raw) is None
+    finally:
+        links.TRIANGLE_DRIVER_WEDGE_LIMIT = old
