@@ -75,3 +75,25 @@ def test_corpus_split_shares_and_totals(ray_session, tiny_dir):
     # deterministic: second run identical
     df2 = _split.corpus_split(tiny_dir)
     pd.testing.assert_frame_equal(df, df2)
+
+
+def test_pagerank_join_plan_bit_equal_to_broadcast(ray_session, tiny_dir):
+    """The co-partitioned join plan (no driver rank vector) must be
+    bit-equal to the broadcast plan — identical exact-int recurrence,
+    different dataflow."""
+    want = _pr.pagerank_ranks(tiny_dir, iterations=4)
+    rds = _pr.pagerank_ranks_ds(tiny_dir, iterations=4)
+    df = rds.to_pandas().sort_values("node").reset_index(drop=True)
+    assert np.array_equal(df["rank"].to_numpy(), want)
+    assert np.array_equal(df["node"].to_numpy(), np.arange(37))
+
+
+def test_pagerank_topk_routes_through_join_plan(ray_session, tiny_dir,
+                                                monkeypatch):
+    """With the broadcast limit forced to 0 the n > limit branch
+    executes end-to-end (join plan + distributed top-k combiner) and
+    matches the broadcast-plan answer."""
+    want = _pr.pagerank_topk(tiny_dir, k=10)
+    monkeypatch.setattr(_pr, "RANK_BROADCAST_LIMIT", 0)
+    got = _pr.pagerank_topk(tiny_dir, k=10)
+    pd.testing.assert_frame_equal(got, want)

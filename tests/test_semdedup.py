@@ -57,3 +57,37 @@ def test_quantize_matches_sql_floor_semantics():
 def test_cluster_count_scales_with_corpus():
     assert max(S.MIN_K, 500 // S.TARGET_CLUSTER) == S.MIN_K
     assert max(S.MIN_K, 10 ** 6 // S.TARGET_CLUSTER) == 3906
+
+
+def test_two_level_assignment_bit_equal(ray_session, monkeypatch):
+    """The √k-group probe path must reproduce the flat argmin
+    bit-for-bit on the whole pipeline output (VERDICT r4 item 5)."""
+    flat = S.semantic_dedup(SF).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    monkeypatch.setattr(S, "TWO_LEVEL_MIN_K", 0)
+    two = S.semantic_dedup(SF).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(flat, two)
+
+
+def test_two_level_argmin_exact_with_ties():
+    """Adversarial unit check: duplicate seeds (forced distance ties)
+    and clustered queries — the probe must match np.argmin's
+    first-minimum rule on every row."""
+    rng = np.random.RandomState(7)
+    k, d, n = 300, 16, 400
+    seeds = rng.randint(-50, 50, size=(k, d)).astype(np.int64)
+    seeds[37] = seeds[251]          # exact tie pair: lowest index wins
+    seeds[0] = seeds[199]
+    q = np.vstack([
+        seeds[rng.randint(0, k, n // 2)] + rng.randint(-2, 3, (n // 2, d)),
+        rng.randint(-60, 60, size=(n - n // 2, d)),
+    ]).astype(np.int64)
+    norms = (q * q).sum(axis=1)
+    snorm = (seeds * seeds).sum(axis=1)
+    want = np.argmin(norms[:, None] - 2 * (q @ seeds.T) + snorm[None, :],
+                     axis=1)
+    groups = S._seed_groups(seeds)
+    got = S._two_level_argmin(q, norms, seeds, snorm, groups)
+    assert np.array_equal(got, want)

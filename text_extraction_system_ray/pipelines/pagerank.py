@@ -27,10 +27,12 @@ iteration; the rank vector is broadcast via ``ray.put`` (8 MB per 1M
 nodes) and per-batch contributions are pre-combined by ``np.unique``
 before the per-iteration ``groupby(dst).sum`` — the shuffle moves one
 (dst, contrib) row per distinct dst per batch.  Beyond
-``RANK_BROADCAST_LIMIT`` nodes the vector no longer broadcasts; the
-at-scale plan is ranks co-partitioned with edges by hash(src)
-(Dataset.join per iteration), the same partition-key-reuse note as
-``textindex``'s posting lists.
+``RANK_BROADCAST_LIMIT`` nodes the vector no longer broadcasts;
+``pagerank_ranks_ds`` implements the at-scale plan — ranks
+co-partitioned with edges by hash(src), one ``Dataset.join`` per
+iteration, no driver rank vector — the same partition-key-reuse note
+as ``textindex``'s posting lists. Both plans are bit-equal (pinned by
+test_pagerank_split).
 """
 from __future__ import annotations
 
@@ -91,14 +93,15 @@ class _Contrib:
 
 def pagerank_ranks(sf_dir: str, iterations: int = ITERATIONS,
                    n_override: int | None = None) -> np.ndarray:
-    """Final integer rank vector after ``iterations`` exact-int steps."""
+    """Final integer rank vector after ``iterations`` exact-int steps
+    (broadcast plan — requires n ≤ ``RANK_BROADCAST_LIMIT``)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     n = n_override if n_override is not None else int(ds.count())
-    if n > RANK_BROADCAST_LIMIT:       # pragma: no cover - documented plan
-        raise NotImplementedError(
-            "rank vector exceeds broadcast budget; use the "
-            "co-partitioned join plan (module docstring)")
+    if n > RANK_BROADCAST_LIMIT:
+        raise ValueError(
+            "rank vector exceeds broadcast budget; use "
+            "pagerank_ranks_ds (co-partitioned join plan)")
     edges = ds.map_batches(lambda t: _edges_batch(t, n),
                            batch_format="pyarrow").materialize()
     ranks = np.full(n, SCALE, np.int64)
@@ -114,9 +117,106 @@ def pagerank_ranks(sf_dir: str, iterations: int = ITERATIONS,
     return ranks
 
 
+def _rank_join_partitions() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:                        # pragma: no cover - env gate
+        cpus = 8
+    return max(4, cpus // 2)
+
+
+def pagerank_ranks_ds(sf_dir: str, iterations: int = ITERATIONS,
+                      n_override: int | None = None) -> ray.data.Dataset:
+    """The at-scale plan (VERDICT r4 item 4): NO driver rank vector.
+
+    Ranks live as a ``(node, rank)`` Dataset; each iteration is one
+    hash-partitioned ``Dataset.join`` of the materialized edge list
+    with the rank table on ``src = node`` (ranks co-partitioned with
+    edges by hash(src)), a per-batch dst-combiner, and one
+    ``groupby(dst).sum`` — zero-contribution nodes are restored by
+    unioning a node-sized zero table before the groupby (cheaper than a
+    second outer join). Arithmetic is the identical exact-int
+    recurrence, so the result is bit-equal to the broadcast plan
+    (pinned by test_pagerank_split).
+
+    Partitioning assumption: both shuffles key on the same node-id hash
+    every iteration, so a cluster-pinned partitioning scheme reuses the
+    edge placement across all iterations."""
+    nodes = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+    n = n_override if n_override is not None else int(nodes.count())
+    nparts = _rank_join_partitions()
+    edges = nodes.map_batches(lambda t: _edges_batch(t, n),
+                              batch_format="pyarrow").materialize()
+    zeros = nodes.map_batches(
+        lambda t: pa.table({"dst": t.column("doc_id"),
+                            "c": pa.array(np.zeros(t.num_rows, np.int64),
+                                          pa.int64())}),
+        batch_format="pyarrow").materialize()
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id"),
+                            "rank": pa.array(
+                                np.full(t.num_rows, SCALE, np.int64),
+                                pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        dst = t.column("dst").to_numpy()
+        c = t.column("rank").to_numpy() // t.column("deg").to_numpy()
+        order = np.argsort(dst, kind="stable")
+        ds_, cs_ = dst[order], c[order]
+        starts = np.concatenate([[0], np.flatnonzero(
+            np.diff(ds_)) + 1]) if len(ds_) else np.zeros(0, np.int64)
+        sums = (np.add.reduceat(cs_, starts)
+                if len(ds_) else np.zeros(0, np.int64))
+        return pa.table({"dst": pa.array(ds_[starts], pa.int64()),
+                         "c": pa.array(sums, pa.int64())})
+
+    def step(t: pa.Table) -> pa.Table:
+        s = t.column("sum(c)").to_numpy()
+        return pa.table({
+            "node": t.column("dst"),
+            "rank": pa.array(TELEPORT + (DAMP_NUM * s) // DAMP_DEN,
+                             pa.int64())})
+
+    for _ in range(iterations):
+        joined = edges.join(ranks, join_type="inner",
+                            num_partitions=nparts,
+                            on=("src",), right_on=("node",))
+        ranks = (joined.map_batches(contrib, batch_format="pyarrow")
+                 .union(zeros)
+                 .groupby("dst").sum("c")
+                 .map_batches(step, batch_format="pyarrow")
+                 .materialize())
+    return ranks
+
+
 def pagerank_topk(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
-    """Top-k docs by PageRank: (doc_id, rank_units), rank desc."""
-    ranks = pagerank_ranks(sf_dir)
-    order = np.lexsort((np.arange(len(ranks)), -ranks))[:k]
-    return pd.DataFrame({"doc_id": order.astype(np.int64),
-                         "rank_units": ranks[order]})
+    """Top-k docs by PageRank: (doc_id, rank_units), rank desc, ties by
+    doc_id asc. Routes through the broadcast plan below
+    ``RANK_BROADCAST_LIMIT`` nodes, else the co-partitioned join plan
+    with a per-batch top-k combiner (only ≤ k candidate rows per block
+    ever reach the driver)."""
+    nodes = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+    n = int(nodes.count())
+    if n <= RANK_BROADCAST_LIMIT:
+        ranks = pagerank_ranks(sf_dir)
+        order = np.lexsort((np.arange(len(ranks)), -ranks))[:k]
+        return pd.DataFrame({"doc_id": order.astype(np.int64),
+                             "rank_units": ranks[order]})
+    rds = pagerank_ranks_ds(sf_dir)
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        rank = t.column("rank").to_numpy()
+        keep = np.lexsort((node, -rank))[:k]
+        return pa.table({"node": pa.array(node[keep], pa.int64()),
+                         "rank": pa.array(rank[keep], pa.int64())})
+
+    cand = rds.map_batches(topk_batch, batch_format="pyarrow").to_pandas()
+    node = cand["node"].to_numpy()
+    rank = cand["rank"].to_numpy()
+    keep = np.lexsort((node, -rank))[:k]
+    return pd.DataFrame({"doc_id": node[keep].astype(np.int64),
+                         "rank_units": rank[keep].astype(np.int64)})

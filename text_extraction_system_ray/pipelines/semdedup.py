@@ -11,8 +11,16 @@ Scale shape (the part that must survive 10^12 rows):
      cluster size stays ~TARGET_CLUSTER regardless of corpus size.
   2. Seed centroids are a tiny deterministic sample (k rows fetched by
      id), broadcast once via ``ray.put`` — never re-shipped per batch.
-  3. Assignment is embarrassingly parallel ``map_batches`` (int64
-     matmul against the broadcast seed matrix).
+  3. Assignment is embarrassingly parallel ``map_batches``. Below
+     ``TWO_LEVEL_MIN_K`` seeds it is one int64 matmul against the flat
+     seed matrix; above it (k in the millions at crawl scale — a flat
+     argmin would be a multi-GB broadcast and an O(N·k·d) matmul) the
+     seeds are pre-clustered into √k groups and each query probes only
+     the groups whose triangle-inequality lower bound
+     ``d(q, center_g) − radius_g`` can still beat the best upper bound
+     — EXACT, not approximate: the probe set provably contains every
+     distance-minimal seed, so the result is bit-identical to the flat
+     argmin (pinned by test_semdedup), at O(N·√k·d) average cost.
   4. One hash shuffle on cluster_id, then a vectorized per-cluster
      O(m²) Gram matrix — m is bounded by construction, and the group
      count is k (thousands at crawl scale), so per-group Python
@@ -71,22 +79,92 @@ def _seed_matrix(path: str, n: int, k: int) -> np.ndarray:
     return _quantize(_emb_matrix(t)[order])
 
 
+# k below this runs the flat argmin; above it the two-level probe
+# (seed-group clustering is pointless until the seed matrix itself is
+# big). Tests monkeypatch to 0 to pin both paths bit-equal.
+TWO_LEVEL_MIN_K = 4096
+
+
+def _seed_groups(seeds: np.ndarray) -> dict:
+    """Cluster the k seeds into G = ⌈√k⌉ groups for the two-level
+    probe: group medoids are every (k//G)-th seed, each seed joins its
+    nearest medoid (exact int64 squared-L2, tie → lowest medoid index —
+    deterministic), and each group records its max member distance
+    (radius) for the triangle-inequality bound."""
+    k = seeds.shape[0]
+    G = max(1, int(np.ceil(np.sqrt(k))))
+    step = max(1, k // G)
+    centers_idx = np.arange(0, k, step)[:G]
+    C = seeds[centers_idx]
+    cn = (C * C).sum(axis=1)
+    d2 = ((seeds * seeds).sum(axis=1)[:, None]
+          - 2 * (seeds @ C.T) + cn[None, :])
+    grp = np.argmin(d2, axis=1)
+    members = [np.flatnonzero(grp == g) for g in range(len(centers_idx))]
+    rad = np.array([np.sqrt(float(d2[m, g].max())) if m.size else 0.0
+                    for g, m in enumerate(members)])
+    return {"C": C, "cnorm": cn, "members": members, "rad": rad}
+
+
+def _two_level_argmin(q: np.ndarray, norms: np.ndarray, seeds: np.ndarray,
+                      seed_norms: np.ndarray, groups: dict) -> np.ndarray:
+    """Exact nearest-seed argmin via ball-pruned group probing.
+
+    For every query the probe set is every group whose lower bound
+    ``d(q,center) − radius`` is ≤ the best upper bound
+    ``min_g d(q,center_g) + radius_g`` (padded by 1e-6 ≫ the ~1e-11
+    float64 sqrt error on these int magnitudes), which provably
+    contains all distance-minimal seeds; within the probe set all
+    comparisons are exact int64, ties → lowest global seed index —
+    bit-identical to ``np.argmin`` over the flat matrix."""
+    C, cn, members, rad = (groups["C"], groups["cnorm"],
+                           groups["members"], groups["rad"])
+    d2c = norms[:, None] - 2 * (q @ C.T) + cn[None, :]     # exact int64
+    dc = np.sqrt(np.maximum(d2c, 0).astype(np.float64))
+    ub = (dc + rad[None, :]).min(axis=1) + 1e-6
+    probe = (dc - rad[None, :]) <= ub[:, None]
+    best_d2 = np.full(len(q), np.iinfo(np.int64).max, np.int64)
+    best_idx = np.full(len(q), np.iinfo(np.int64).max, np.int64)
+    for g, mem in enumerate(members):
+        if not mem.size:
+            continue
+        rows = np.flatnonzero(probe[:, g])
+        if not rows.size:
+            continue
+        S = seeds[mem]
+        d2 = (norms[rows, None] - 2 * (q[rows] @ S.T)
+              + seed_norms[mem][None, :])
+        am = np.argmin(d2, axis=1)              # first min = lowest member
+        cd2 = d2[np.arange(len(rows)), am]
+        cidx = mem[am]
+        upd = (cd2 < best_d2[rows]) | ((cd2 == best_d2[rows])
+                                       & (cidx < best_idx[rows]))
+        upd_rows = rows[upd]
+        best_d2[upd_rows] = cd2[upd]
+        best_idx[upd_rows] = cidx[upd]
+    return best_idx
+
+
 def _assign_batch(t: pa.Table, seeds_ref) -> pa.Table:
     """Nearest seed by int64 squared-L2, tie → lowest seed index
     (np.argmin's first-minimum rule == the oracle's ORDER BY dist,
-    seed_j LIMIT 1). The seed matrix is a single broadcast object-store
-    ref — ``ray.get`` here is a zero-copy read, not a re-ship — and the
-    stage is a plain task pool (no model-sized state to justify actor
-    startup; at k in the millions, switch to an actor pool holding the
-    seed shards)."""
-    seeds = ray.get(seeds_ref)                             # (k, d) int64
+    seed_j LIMIT 1). The seed payload is a single broadcast
+    object-store ref — ``ray.get`` here is a zero-copy read, not a
+    re-ship. Flat matmul below ``TWO_LEVEL_MIN_K`` seeds; the exact
+    two-level group probe above it (module docstring item 3)."""
+    payload = ray.get(seeds_ref)
+    seeds = payload["seeds"]                               # (k, d) int64
     seed_norms = (seeds * seeds).sum(axis=1)
     q = _quantize(_emb_matrix(t))
     norms = (q * q).sum(axis=1)
-    # |q - s|² = |q|² - 2 q·s + |s|²; |q|² constant per row → argmin
-    # over (-2 q·s + |s|²)
-    d2 = -2 * (q @ seeds.T) + seed_norms[None, :]
-    cluster = np.argmin(d2, axis=1).astype(np.int64)
+    if payload.get("groups") is not None:
+        cluster = _two_level_argmin(q, norms, seeds, seed_norms,
+                                    payload["groups"]).astype(np.int64)
+    else:
+        # |q - s|² = |q|² - 2 q·s + |s|²; |q|² constant per row → argmin
+        # over (-2 q·s + |s|²)
+        d2 = -2 * (q @ seeds.T) + seed_norms[None, :]
+        cluster = np.argmin(d2, axis=1).astype(np.int64)
     n, d = q.shape
     qvec = pa.ListArray.from_arrays(
         pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
@@ -130,7 +208,9 @@ def semantic_dedup(sf_dir: str) -> ray.data.Dataset:
     k = max(MIN_K, n // TARGET_CLUSTER)
     import functools
 
-    seeds_ref = ray.put(_seed_matrix(path, n, k))
+    seeds = _seed_matrix(path, n, k)
+    groups = _seed_groups(seeds) if k >= TWO_LEVEL_MIN_K else None
+    seeds_ref = ray.put({"seeds": seeds, "groups": groups})
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     assigned = ds.map_batches(
         functools.partial(_assign_batch, seeds_ref=seeds_ref),
