@@ -168,7 +168,8 @@ def _warc_extract_summary(sf_dir: str) -> ray.data.Dataset:
     from text_extraction_system_ray.sources.warc import read_warc
 
     def add_lang(t: pa.Table) -> pa.Table:
-        return t.append_column("lang", pa.array([""] * t.num_rows))
+        return t.append_column(
+            "lang", pa.array([""] * t.num_rows, pa.string()))
 
     back = read_warc(_warc_shards(sf_dir)).map_batches(
         add_lang, batch_format="pyarrow")

@@ -52,6 +52,12 @@ def sniff_charset(payload: bytes) -> Tuple[str, int]:
         label = m.group(1).decode("ascii", errors="replace").lower()
         codec = _LABELS.get(label)
         if codec:
+            if codec.startswith("utf-16"):
+                # WHATWG prescan rule: a meta-declared UTF-16 label maps
+                # to UTF-8 — a BOM-less page whose meta tag was readable
+                # as ASCII cannot actually be UTF-16 (real UTF-16 is
+                # caught by the BOM branch above)
+                codec = "utf-8"
             return codec, 0
     return "utf-8", 0
 

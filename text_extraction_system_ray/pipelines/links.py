@@ -356,10 +356,21 @@ def _jsonld_batch(t: pa.Table) -> pa.Table:
         if obj is None:
             continue
         ids.append(int(u[-8:]))
-        types.append(obj.get("@type"))
-        heads.append(obj.get("headline"))
-        chars.append(int(obj.get("charCount", -1)))
-        pubs.append(obj.get("publisher"))
+        # real schema.org blocks carry list-valued @type and null /
+        # non-numeric fields — null-fill rather than kill the batch
+        ty = obj.get("@type")
+        types.append(ty if isinstance(ty, str) else
+                     (ty[0] if isinstance(ty, list) and ty
+                      and isinstance(ty[0], str) else None))
+        hl = obj.get("headline")
+        heads.append(hl if isinstance(hl, str) else None)
+        cc = obj.get("charCount")
+        chars.append(cc if isinstance(cc, int)
+                     and not isinstance(cc, bool) else -1)
+        pub = obj.get("publisher")
+        if isinstance(pub, dict):              # nested Organization form
+            pub = pub.get("name")
+        pubs.append(pub if isinstance(pub, str) else None)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "jsonld_type": pa.array(types, pa.string()),
                      "headline": pa.array(heads, pa.string()),

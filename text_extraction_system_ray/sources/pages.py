@@ -185,20 +185,23 @@ def pages_parquet(sf_dir: str) -> str:
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
+    import fcntl
     import shutil
-    # build in a private dir, publish with an atomic rename — two
-    # processes racing here (driver + pytest) each build their own copy
-    # and exactly one wins; the loser discards
-    tmp = f"{out}.build-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    synth_pages(sf_dir).write_parquet(tmp)
-    open(os.path.join(tmp, "_DONE"), "w").close()
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(marker):        # stale partial dir: replace
+    # serialize the build+publish under an flock so racing processes
+    # (driver + pytest) never rmtree a directory another process just
+    # published (the rename-and-recheck scheme had a small TOCTOU);
+    # the lock also means exactly ONE process pays the build cost
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if os.path.exists(marker):            # built while we waited
+            return out
+        if os.path.exists(out):               # crashed partial: replace
             shutil.rmtree(out, ignore_errors=True)
-            return pages_parquet(sf_dir)
+        tmp = f"{out}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        synth_pages(sf_dir).write_parquet(tmp)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        os.rename(tmp, out)
     return out
