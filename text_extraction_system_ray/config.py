@@ -20,6 +20,7 @@ class PipelineConfig:
     ocr_enable: bool = False               # ref: request_metadata.py:58 — raster/OCR arm is STUBBED (no tesseract in env)
     remove_nuls: bool = True               # ref: data_extract.py:113-114 (\x00 strip for PostgreSQL)
     doc_language: str = ""                 # forced language; "" = detect (ref: request_metadata.py:55)
+    pdf_password: str = ""                 # standard-handler decrypt (ref: web_api.py:68-94, GetTextFromPDF.java:23-98)
 
     # --- poison-row guards (deterministic: step budgets, not wall-clock) ---
     max_payload_bytes: int = 64 * 1024 * 1024   # larger rows → status='error'

@@ -379,6 +379,19 @@ class _PdfDoc:
             self.objs[int(m.group(1))] = m.group(2)
         if not self.objs:
             raise ExtractError("pdf: no objects found")
+        # /Encrypt in the trailer → standard-security-handler decrypt
+        # of every stream and string BEFORE parsing (PDF 32000-1 §7.6;
+        # reference parity: GetTextFromPDF.java:23-98 openProtection)
+        from . import pdfcrypt
+        enc = pdfcrypt.parse_encryption(payload, self.objs)
+        if enc is not None:
+            try:
+                self.objs = pdfcrypt.decrypt_objects(
+                    self.objs, enc, cfg.pdf_password)
+            except pdfcrypt.BadPassword:
+                raise ExtractError("pdf: wrong or missing password")
+            except ValueError as ex:
+                raise ExtractError(f"pdf: decrypt failed: {ex}")
         self.pages = self._collect_pages()
         if not self.pages:
             raise ExtractError("pdf: no pages found")

@@ -32,7 +32,7 @@ _EPOCH = _dt.datetime(2021, 1, 1)
 
 # bump whenever the synthesized payload bytes change — keys the /tmp
 # materialization caches (pages_parquet here, corpus_dir in bench.py)
-PAGES_FIXTURE_VERSION = 3
+PAGES_FIXTURE_VERSION = 4
 
 _NAV = ('<nav class="menu"><a href="/">Home</a> <a href="/news">News</a> '
         '<a href="/about">About</a> <a href="/contact">Contact</a></nav>')
@@ -131,7 +131,22 @@ def _documents_to_pages(batch: pa.Table, total: int = 0) -> pa.Table:
         if doc_id % 53 == 11:
             payloads.append(b"")
         elif doc_id % 41 == 7:
-            payloads.append(doc_to_page_pdf(doc_id, text or ""))
+            pdf = doc_to_page_pdf(doc_id, text or "")
+            # a deterministic sub-family is encrypted with an EMPTY
+            # user password (owner-locked — the common encrypted-web-PDF
+            # case, opens without a password): the standard-handler
+            # decrypt path runs inside the flagship extraction and every
+            # summary oracle stays unchanged because the decrypted text
+            # is byte-identical
+            if doc_id % 3 == 1:
+                from ..functions.pdfcrypt import encrypt_pdf
+                pdf = encrypt_pdf(pdf, user_pw="", owner_pw="owner-fixture",
+                                  method="rc4-128")
+            elif doc_id % 3 == 2:
+                from ..functions.pdfcrypt import encrypt_pdf
+                pdf = encrypt_pdf(pdf, user_pw="", owner_pw="owner-fixture",
+                                  method="aesv2")
+            payloads.append(pdf)
         else:
             payloads.append(doc_to_page_html(doc_id, text or "", source,
                                              total=total, n_chars=n_chars))
