@@ -69,7 +69,8 @@ def sniff_kind(payload: Optional[bytes]) -> str:
     if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8" \
             or payload[:6] in (b"GIF87a", b"GIF89a") \
             or payload[:4] in (b"II*\x00", b"MM\x00*") \
-            or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"):
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP") \
+            or payload[:8] == b"FAKEIMG1":
         return "image"
     head = payload[:4096]
     # C-speed control-byte count: delete everything non-control, measure

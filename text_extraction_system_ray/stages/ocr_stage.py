@@ -88,12 +88,17 @@ class OcrPages:
 
     def __init__(self, backend: Optional[OcrBackend] = None,
                  cfg: Optional[PipelineConfig] = None, language: str = "",
-                 deskew: bool = False, min_deskew_angle: float = 0.5):
+                 deskew: bool = False, min_deskew_angle: float = 0.5,
+                 detect_tables: bool = False):
         self.backend = backend or FakeOcrBackend()
         self.cfg = cfg or DEFAULT_CONFIG
         self.language = language
         self.deskew = deskew
         self.min_deskew_angle = min_deskew_angle
+        # raster-side table detection on the OCR raster (the char-box
+        # detector can't see scanned pages — ref runs its cv2 detector
+        # on the page image, ocr/tables/table_detection.py:311-445)
+        self.detect_tables = detect_tables
 
     def _page_angle(self, page_pdf: bytes):
         """(orientation deg, fractional skew angle, corrected raster) —
@@ -155,6 +160,7 @@ class OcrPages:
                     for page_no in need:
                         if page_no not in chunks:
                             continue
+                        img = None
                         if self.deskew:
                             try:
                                 orient, a, img = self._page_angle(
@@ -174,6 +180,9 @@ class OcrPages:
                             rec = {"page": page_no,
                                    "text": self.backend.ocr_page(
                                        chunks[page_no], self.language)}
+                        if self.detect_tables:
+                            rec["tables"] = self._page_tables(
+                                chunks[page_no], img)
                         results.append(rec)
                 except Exception:   # noqa: BLE001 — OCR failure ≠ row failure
                     results = []
@@ -182,8 +191,31 @@ class OcrPages:
         if self.deskew:
             fields.append(("angle", pa.float64()))
             fields.append(("orientation", pa.int32()))
+        if self.detect_tables:
+            fields.append(("tables", pa.list_(pa.struct(
+                [("x", pa.float64()), ("y", pa.float64()),
+                 ("w", pa.float64()), ("h", pa.float64())]))))
         typ = pa.list_(pa.struct(fields))
         return batch.append_column("ocr_pages", pa.array(out, typ))
+
+    def _page_tables(self, page_pdf: bytes, img) -> List[dict]:
+        """Raster table regions for one OCR page — reuses the deskewed
+        raster when the deskew arm already built one, else rasterizes
+        (image payloads decode their real pixels)."""
+        from ..functions.raster_tables import detect_raster_tables
+        try:
+            if img is None:
+                from ..extract import sniff_kind
+                from ..functions.pdf_ops import rasterize_page
+                from ..functions.raster import decode_l_image
+                if sniff_kind(page_pdf) == "image":
+                    img = decode_l_image(page_pdf)
+                else:
+                    img = decode_l_image(rasterize_page(
+                        page_pdf, 1, dpi=72, cfg=self.cfg))
+            return detect_raster_tables(img)
+        except Exception:   # noqa: BLE001 — detection failure ≠ row failure
+            return []
 
 
 def attach_searchable_pdf(batch: pa.Table,
