@@ -121,6 +121,46 @@ def _extract_pages_summary(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def _office_extract_summary(sf_dir: str) -> ray.data.Dataset:
+    """Office-intake chain, SQL-checkable end-to-end: every document is
+    re-packed as a DOCX (heading 'Doc {id} office' + the raw text as
+    one body paragraph), run through the REAL pipeline (zip sniff →
+    OOXML parse → normalize-to-PDF → content-stream extraction), and
+    summarized with word/char counts that are wrap-invariant — the
+    DuckDB oracle recomputes them from ``documents`` alone, so a broken
+    converter, zip reader or PDF round-trip breaks the hash match."""
+    from text_extraction_system_ray.extract import extract_row
+    from text_extraction_system_ray.functions.office import build_docx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        n_words, n_nonspace, n_toc, status, kind = [], [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            payload = build_docx([(1, f"Doc {doc_id} office"),
+                                  (0, text or "")])
+            row = extract_row(f"https://example.org/off/{doc_id:08d}",
+                              payload)
+            status.append(row["status"])
+            kind.append(row["kind"])
+            n_words.append(len(row["text"].split()))
+            n_nonspace.append(len("".join(row["text"].split())))
+            n_toc.append(len(row["toc"]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "status": pa.array(status, pa.string()),
+            "kind": pa.array(kind, pa.string()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_nonspace": pa.array(n_nonspace, pa.int64()),
+            "n_toc": pa.array(n_toc, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=64)
+
+
 def _sitemap_census(sf_dir: str) -> ray.data.Dataset:
     from text_extraction_system_ray.sources.sitemap import sitemap_census
     return sitemap_census(sf_dir)
@@ -458,6 +498,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # container → flagship: WARC shards feed the extraction pipeline
         # and must reproduce extract_pages_summary's oracle exactly
         "warc_extract_summary": _warc_extract_summary,
+        # office intake: every doc re-packed as DOCX → zip sniff →
+        # OOXML parse → normalize-to-PDF → extraction, wrap-invariant
+        # word/char/toc counts vs a pure-arithmetic oracle
+        "office_extract_summary": _office_extract_summary,
         # sitemaps.org protocol: build gz urlsets per source, parse them
         # back, census what the PARSER read (loc + lastmod grammar)
         "sitemap_census": _sitemap_census,
@@ -1732,6 +1776,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS n_tables
             FROM documents
             WHERE doc_id % 41 <> 7
+        """,
+        # office chain: extracted text = 'Doc {id} office' heading +
+        # the raw text re-wrapped — word count and non-whitespace char
+        # count are wrap-invariant, heading count is exactly 1
+        "office_extract_summary": r"""
+            SELECT doc_id, 'ok' AS status, 'office' AS kind,
+                   CAST(3 + CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(text), '\s+')) END
+                        AS BIGINT) AS n_words,
+                   CAST(9 + LENGTH(CAST(doc_id AS VARCHAR))
+                          + LENGTH(regexp_replace(text, '\s', '', 'g'))
+                        AS BIGINT) AS n_nonspace,
+                   CAST(1 AS BIGINT) AS n_toc
+            FROM documents
         """,
         "warc_extract_summary": """
             SELECT doc_id,

@@ -150,7 +150,7 @@ def run_queries() -> dict:
               "charset_decode", "url_dedup", "robots_filter",
               "jsonld_extract", "crawl_frontier", "warc_http_status",
               "sitemap_census", "hll_distinct", "kmv_source_sketch",
-              "kmv_source_overlap", "warc_extract_summary",
+              "kmv_source_overlap", "warc_extract_summary", "office_extract_summary",
               "hash_sample_quantiles", "bloom_probe", "link_triangles"]
     out = {}
     for name in picked:

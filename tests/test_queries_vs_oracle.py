@@ -93,7 +93,8 @@ def test_all_queries_run(entrymod):
     "meta_extract", "anchor_text_stats", "charset_decode", "url_dedup",
     "robots_filter", "jsonld_extract", "crawl_frontier", "warc_http_status",
     "sitemap_census", "hll_distinct", "kmv_source_sketch",
-    "kmv_source_overlap", "warc_extract_summary", "hash_sample_quantiles",
+    "kmv_source_overlap", "warc_extract_summary", "office_extract_summary",
+    "hash_sample_quantiles",
     "bloom_probe", "link_triangles",
 ])
 def test_sql_backed_queries_match(entrymod, ddb, name):

@@ -43,6 +43,7 @@ def image_dims(payload: bytes):
 
 
 PDF_MAGIC = b"%PDF-"
+_OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 # bytes that are NOT control chars per the sniff rule
 # (ctrl = b<9 or 13<b<32 except ESC)
@@ -72,6 +73,10 @@ def sniff_kind(payload: Optional[bytes]) -> str:
             or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP") \
             or payload[:8] == b"FAKEIMG1":
         return "image"
+    if payload[:4] == b"PK\x03\x04" or payload[:8] == _OLE_MAGIC:
+        from .functions.office import sniff_office
+        if sniff_office(payload):
+            return "office"
     head = payload[:4096]
     # C-speed control-byte count: delete everything non-control, measure
     n_ctrl = len(head.translate(None, _NON_CTRL))
@@ -118,7 +123,15 @@ def extract_row(url: str, payload: Optional[bytes], lang_hint: str = "",
         if kind == "image":
             w, h = image_dims(payload)
             return _doc_to_row(url, kind, assemble_image(w, h, forced))
-        if kind == "pdf":
+        if kind in ("pdf", "office"):
+            if kind == "office":
+                # normalize-to-PDF first, like every reference intake
+                # (convert_to_pdf.py:61-102); legacy OLE .doc raises
+                from .functions.office import office_to_pdf
+                try:
+                    payload = office_to_pdf(payload)
+                except ValueError as ex:
+                    return error_row(url, kind, str(ex), lang_hint)
             pages = extract_pdf(payload, cfg)
             doc = assemble_pdf(pages, forced,
                                tables_enable=cfg.table_extraction_enable)
