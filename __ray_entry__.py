@@ -161,6 +161,77 @@ def _office_extract_summary(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(run, batch_format="pyarrow", batch_size=64)
 
 
+def _office_odt_summary(sf_dir: str) -> ray.data.Dataset:
+    """Same chain as ``office_extract_summary`` through the ODF parser:
+    text:h heading + text:p body, tab/space expansion exercised."""
+    from text_extraction_system_ray.extract import extract_row
+    from text_extraction_system_ray.functions.office import build_odt
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        n_words, n_nonspace, n_toc, status, kind = [], [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            payload = build_odt([(1, f"Doc {doc_id} office"),
+                                 (0, text or "")])
+            row = extract_row(f"https://example.org/odt/{doc_id:08d}",
+                              payload)
+            status.append(row["status"])
+            kind.append(row["kind"])
+            n_words.append(len(row["text"].split()))
+            n_nonspace.append(len("".join(row["text"].split())))
+            n_toc.append(len(row["toc"]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "status": pa.array(status, pa.string()),
+            "kind": pa.array(kind, pa.string()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_nonspace": pa.array(n_nonspace, pa.int64()),
+            "n_toc": pa.array(n_toc, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=64)
+
+
+def _office_xlsx_summary(sf_dir: str) -> ray.data.Dataset:
+    """Spreadsheet intake chain: each document's words packed six per
+    row into a real XLSX (shared-strings table exercised — repeated
+    words share entries), extracted through normalize-to-PDF; word and
+    non-whitespace char counts are packing-invariant."""
+    from text_extraction_system_ray.extract import extract_row
+    from text_extraction_system_ray.functions.office import build_xlsx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        n_words, n_nonspace, status, kind = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            words = (text or "").split()
+            rows = ([words[i:i + 6] for i in range(0, len(words), 6)]
+                    or [["empty"]])
+            row = extract_row(f"https://example.org/xls/{doc_id:08d}",
+                              build_xlsx(rows))
+            status.append(row["status"])
+            kind.append(row["kind"])
+            n_words.append(len(row["text"].split()))
+            n_nonspace.append(len("".join(row["text"].split())))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "status": pa.array(status, pa.string()),
+            "kind": pa.array(kind, pa.string()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_nonspace": pa.array(n_nonspace, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=64)
+
+
 def _sitemap_census(sf_dir: str) -> ray.data.Dataset:
     from text_extraction_system_ray.sources.sitemap import sitemap_census
     return sitemap_census(sf_dir)
@@ -502,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OOXML parse → normalize-to-PDF → extraction, wrap-invariant
         # word/char/toc counts vs a pure-arithmetic oracle
         "office_extract_summary": _office_extract_summary,
+        "office_odt_summary": _office_odt_summary,
+        "office_xlsx_summary": _office_xlsx_summary,
         # sitemaps.org protocol: build gz urlsets per source, parse them
         # back, census what the PARSER read (loc + lastmod grammar)
         "sitemap_census": _sitemap_census,
@@ -1790,6 +1863,31 @@ def oracle_sql() -> dict[str, str]:
                           + LENGTH(regexp_replace(text, '\s', '', 'g'))
                         AS BIGINT) AS n_nonspace,
                    CAST(1 AS BIGINT) AS n_toc
+            FROM documents
+        """,
+        "office_odt_summary": r"""
+            SELECT doc_id, 'ok' AS status, 'office' AS kind,
+                   CAST(3 + CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(text), '\s+')) END
+                        AS BIGINT) AS n_words,
+                   CAST(9 + LENGTH(CAST(doc_id AS VARCHAR))
+                          + LENGTH(regexp_replace(text, '\s', '', 'g'))
+                        AS BIGINT) AS n_nonspace,
+                   CAST(1 AS BIGINT) AS n_toc
+            FROM documents
+        """,
+        # xlsx packing: words flow through shared strings and back out
+        # in order; empty docs pack a single 'empty' sentinel cell
+        "office_xlsx_summary": r"""
+            SELECT doc_id, 'ok' AS status, 'office' AS kind,
+                   CAST(CASE WHEN trim(text) = '' THEN 1
+                        ELSE len(regexp_split_to_array(
+                                 trim(text), '\s+')) END
+                        AS BIGINT) AS n_words,
+                   CAST(CASE WHEN trim(text) = '' THEN 5
+                        ELSE LENGTH(regexp_replace(text, '\s', '', 'g'))
+                        END AS BIGINT) AS n_nonspace
             FROM documents
         """,
         "warc_extract_summary": """

@@ -94,6 +94,7 @@ def test_all_queries_run(entrymod):
     "robots_filter", "jsonld_extract", "crawl_frontier", "warc_http_status",
     "sitemap_census", "hll_distinct", "kmv_source_sketch",
     "kmv_source_overlap", "warc_extract_summary", "office_extract_summary",
+    "office_odt_summary", "office_xlsx_summary",
     "hash_sample_quantiles",
     "bloom_probe", "link_triangles",
 ])
