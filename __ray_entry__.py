@@ -1063,7 +1063,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   bit_count(xor(a.s, b.s)) AS hamming
+                   CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 3
         """,
@@ -1605,13 +1605,13 @@ def oracle_sql() -> dict[str, str]:
         "image_metadata_summary": """
             SELECT doc_id,
                    CASE WHEN doc_id % 17 = 5 THEN 'error' ELSE 'ok' END AS status,
-                   CASE WHEN doc_id % 17 = 5 THEN 0
-                        ELSE 8 + (doc_id % 5) * 4 END AS width,
-                   CASE WHEN doc_id % 17 = 5 THEN 0
-                        ELSE 8 + (doc_id % 3) * 4 END AS height,
-                   CASE WHEN doc_id % 17 = 5 THEN 0
+                   CAST(CASE WHEN doc_id % 17 = 5 THEN 0
+                        ELSE 8 + (doc_id % 5) * 4 END AS BIGINT) AS width,
+                   CAST(CASE WHEN doc_id % 17 = 5 THEN 0
+                        ELSE 8 + (doc_id % 3) * 4 END AS BIGINT) AS height,
+                   CAST(CASE WHEN doc_id % 17 = 5 THEN 0
                         WHEN doc_id % 17 IN (7, 11, 13, 15) THEN 1
-                        ELSE 3 END AS channels,
+                        ELSE 3 END AS BIGINT) AS channels,
                    CASE WHEN doc_id % 17 = 5 THEN ''
                         WHEN doc_id % 17 IN (7, 11, 13, 15) THEN 'L'
                         ELSE 'RGB' END AS mode
@@ -1625,18 +1625,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 17 = 5 THEN 'error'
                         ELSE 'ok' END AS status,
-                   CASE WHEN doc_id % 17 = 5 THEN 0
+                   CAST(CASE WHEN doc_id % 17 = 5 THEN 0
                         WHEN doc_id % 17 IN (7, 11, 13, 15) THEN 1
-                        ELSE 3 END AS n_channels,
-                   CASE WHEN doc_id % 17 = 5 THEN 0
-                        ELSE 8 END AS emb_len,
+                        ELSE 3 END AS BIGINT) AS n_channels,
+                   CAST(CASE WHEN doc_id % 17 = 5 THEN 0
+                        ELSE 8 END AS BIGINT) AS emb_len,
                    CASE WHEN doc_id % 17 = 5 THEN 0.0
                         ELSE 1.0 END AS emb_sum,
                    CASE WHEN doc_id % 17 = 15
                         THEN CAST(doc_id % 256 AS DOUBLE) END AS mean0,
-                   CASE WHEN doc_id % 17 = 15
+                   CAST(CASE WHEN doc_id % 17 = 15
                         THEN (doc_id % 256) // 32
-                        ELSE -1 END AS top_bin
+                        ELSE -1 END AS BIGINT) AS top_bin
             FROM documents
         """,
         "image_resize_summary": """
@@ -1661,8 +1661,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fakevid' END AS container,
                    CASE WHEN doc_id % 11 = 5 THEN 'MJPG'
                         ELSE 'raw' END AS codec,
-                   2 + doc_id % 4 AS n_frames,
-                   8 AS width, 8 AS height,
+                   CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+                   CAST(8 AS BIGINT) AS width,
+                   CAST(8 AS BIGINT) AS height,
                    CASE WHEN doc_id % 11 = 5
                         THEN CAST(10 + doc_id % 20 AS DOUBLE)
                         ELSE 0.0 END AS fps
@@ -1813,17 +1814,17 @@ def oracle_sql() -> dict[str, str]:
         # the bar; the oracle emits the constant bar per query — the
         # hash matches iff every query's recall meets the bar
         "ann_lsh_topk": f"""
-            SELECT vec_id AS query_id, 10 AS k,
+            SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                    {_ann.LSH_RECALL_BAR} AS recall_floor
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
         """,
         "ann_ivf_topk": f"""
-            SELECT vec_id AS query_id, 10 AS k,
+            SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                    {_ann.IVF_RECALL_BAR} AS recall_floor
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
         """,
         "ann_ivf_index_topk": f"""
-            SELECT vec_id AS query_id, 10 AS k,
+            SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
                    {_ann.IVF_RECALL_BAR} AS recall_floor
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
         """,
@@ -1840,13 +1841,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 53 = 11 THEN ''
                         ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
                              || ' (' || source || ')' END AS title,
-                   CASE WHEN doc_id % 53 = 11 THEN 0 ELSE 1 END AS n_pages,
-                   CASE WHEN doc_id % 53 = 11 THEN 0
+                   CAST(CASE WHEN doc_id % 53 = 11 THEN 0 ELSE 1 END
+                        AS BIGINT) AS n_pages,
+                   CAST(CASE WHEN doc_id % 53 = 11 THEN 0
                         WHEN doc_id % 7 = 0 AND
                              (CASE WHEN trim(text) = '' THEN 0
                                    ELSE len(regexp_split_to_array(
                                             trim(text), '\\s+')) END) > 12
-                        THEN 1 ELSE 0 END AS n_tables
+                        THEN 1 ELSE 0 END AS BIGINT) AS n_tables
             FROM documents
             WHERE doc_id % 41 <> 7
         """,
@@ -1898,13 +1900,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 53 = 11 THEN ''
                         ELSE 'Doc ' || CAST(doc_id AS VARCHAR)
                              || ' (' || source || ')' END AS title,
-                   CASE WHEN doc_id % 53 = 11 THEN 0 ELSE 1 END AS n_pages,
-                   CASE WHEN doc_id % 53 = 11 THEN 0
+                   CAST(CASE WHEN doc_id % 53 = 11 THEN 0 ELSE 1 END
+                        AS BIGINT) AS n_pages,
+                   CAST(CASE WHEN doc_id % 53 = 11 THEN 0
                         WHEN doc_id % 7 = 0 AND
                              (CASE WHEN trim(text) = '' THEN 0
                                    ELSE len(regexp_split_to_array(
                                             trim(text), '\\s+')) END) > 12
-                        THEN 1 ELSE 0 END AS n_tables
+                        THEN 1 ELSE 0 END AS BIGINT) AS n_tables
             FROM documents
             WHERE doc_id % 41 <> 7
         """,
@@ -2307,10 +2310,10 @@ def oracle_sql() -> dict[str, str]:
         "warc_http_status": """
             WITH s AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 37 = 3 THEN 404
-                          WHEN doc_id % 41 = 5 THEN 301
-                          WHEN doc_id % 53 = 7 THEN 500
-                          ELSE 200 END AS http_status
+                     CAST(CASE WHEN doc_id % 37 = 3 THEN 404
+                               WHEN doc_id % 41 = 5 THEN 301
+                               WHEN doc_id % 53 = 7 THEN 500
+                               ELSE 200 END AS BIGINT) AS http_status
               FROM documents)
             SELECT http_status, count(*) AS n_records,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

@@ -228,8 +228,16 @@ def image_metadata_summary(sf_dir: str) -> "object":
     ds = image_metadata(sf_dir)
 
     def proj(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id", "status", "width", "height",
-                         "channels", "mode"])
+        # int64 everywhere so the driver's value hash never sees an
+        # int32-vs-BIGINT width wobble against the DuckDB oracle
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "status": t["status"],
+            "width": t["width"].cast(pa.int64()),
+            "height": t["height"].cast(pa.int64()),
+            "channels": t["channels"].cast(pa.int64()),
+            "mode": t["mode"],
+        })
 
     return ds.map_batches(proj, batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
