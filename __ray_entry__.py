@@ -48,6 +48,7 @@ from text_extraction_system_ray.pipelines import urlstats as _url
 from text_extraction_system_ray.pipelines import charset as _charset
 from text_extraction_system_ray.pipelines import robots as _robots
 from text_extraction_system_ray.pipelines import sketch as _sketch
+from text_extraction_system_ray.pipelines import gopher as _gopher
 from text_extraction_system_ray.pipelines import urldedup as _urldedup
 from text_extraction_system_ray.pipelines import links as _links
 from text_extraction_system_ray.pipelines import semdedup as _sem
@@ -582,6 +583,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combiners → one groupby-max → 1024-row driver finish; the
         # whole sketch is integer-exact and oracle-reproducible
         "hll_distinct": _sketch.hll_distinct_text,
+        # Count-Min heavy hitters: 64 KiB counter matrix regardless of
+        # corpus size; integer-exact, oracle rebuilds it bit-for-bit
+        "cms_heavy_hitters": _sketch.cms_heavy_hitters,
+        # Gopher document-quality rules, integerized thresholds
+        "gopher_filter": _gopher.gopher_filter,
         # KMV/theta sketches over per-source VOCABULARY: k-min partials
         # per batch, tiny driver finish; set ops on sketches (the theta
         # intersection sample) — exactly reproducible via ROW_NUMBER<=k
@@ -2141,6 +2147,80 @@ def oracle_sql() -> dict[str, str]:
         # bit-length (binary reduction ≡ the correlated powers-of-two
         # max), exact int64 register numerator, identical estimator
         # literals; 4-decimal round kills libm-ulp risk on the ln branch
+        # Count-Min: the oracle rebuilds the 4x2048 counter matrix from
+        # the exact term counts with the same md5-half double hashing
+        # (small-modulus arithmetic, the bloom_probe discipline) and
+        # takes the same min-over-rows estimates
+        "cms_heavy_hitters": r"""
+            WITH tok AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ), c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+            h AS (
+                SELECT term, cnt,
+                       CAST(CAST(concat('0x', substr(md5(term), 1, 16))
+                                 AS UBIGINT) % 2048 AS BIGINT) AS a,
+                       CAST(CAST(concat('0x', substr(md5(term), 17, 16))
+                                 AS UBIGINT) % 2048 AS BIGINT) AS b
+                FROM c
+            ), inc AS (
+                SELECT r.r * 2048 + (a + r.r * b) % 2048 AS cell, cnt
+                FROM h CROSS JOIN range(4) r(r)
+            ), cms AS (
+                SELECT cell, CAST(SUM(cnt) AS BIGINT) AS v
+                FROM inc GROUP BY cell
+            ), est AS (
+                SELECT h.term, h.cnt AS exact_cnt, MIN(cms.v) AS est_cnt
+                FROM h CROSS JOIN range(4) r(r)
+                JOIN cms ON cms.cell
+                            = r.r * 2048 + (h.a + r.r * h.b) % 2048
+                GROUP BY h.term, h.cnt
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY est_cnt DESC, term)
+                        AS BIGINT) AS rank,
+                   term, CAST(est_cnt AS BIGINT) AS est_cnt,
+                   CAST(exact_cnt AS BIGINT) AS exact_cnt
+            FROM est ORDER BY est_cnt DESC, term LIMIT 20
+        """,
+        # Gopher rules: integerized thresholds, no float boundaries
+        "gopher_filter": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       CAST(COALESCE(list_sum(list_transform(
+                           ws, x -> length(x))), 0) AS BIGINT)
+                           AS sum_word_chars,
+                       CAST(len(list_filter(ws,
+                           x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+                           AS n_alpha_words,
+                       CAST(len(list_filter(
+                           ['the','be','to','of','and','that','have',
+                            'with'],
+                           s -> list_contains(ws, s))) AS BIGINT)
+                           AS n_stop_distinct,
+                       CAST(len(list_filter(ws,
+                           x -> contains(x, '#') OR x LIKE '%...'))
+                           AS BIGINT) AS n_symbol_words
+                FROM w
+            )
+            SELECT doc_id, n_words, sum_word_chars, n_alpha_words,
+                   n_stop_distinct, n_symbol_words,
+                   (n_words BETWEEN 50 AND 100000
+                    AND 3 * n_words <= sum_word_chars
+                    AND sum_word_chars <= 10 * n_words
+                    AND 5 * n_alpha_words >= 4 * n_words
+                    AND n_stop_distinct >= 2
+                    AND 10 * n_symbol_words <= n_words) AS keep
+            FROM m
+        """,
         "hll_distinct": """
             WITH h AS (
               SELECT CAST(concat('0x', substr(md5(text), 1, 16))

@@ -151,7 +151,8 @@ def run_queries() -> dict:
               "jsonld_extract", "crawl_frontier", "warc_http_status",
               "sitemap_census", "hll_distinct", "kmv_source_sketch",
               "kmv_source_overlap", "warc_extract_summary", "office_extract_summary",
-              "hash_sample_quantiles", "bloom_probe", "link_triangles"]
+              "hash_sample_quantiles", "bloom_probe", "link_triangles",
+              "cms_heavy_hitters", "gopher_filter"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -1,4 +1,6 @@
 """HyperLogLog sketch: exact bit-length, merge law, accuracy bound."""
+
+SF = "/root/testdata/sf0.001"
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -122,3 +124,47 @@ def test_bloom_no_false_negatives():
     bm = np.zeros(BLOOM_M, bool)
     bm[np.unique(bloom_positions(keys))] = True
     assert bm[bloom_positions(keys)].all()   # every built key probes True
+
+
+# ------------------------------------------------ Count-Min sketch
+
+def test_cms_overestimate_and_rank_props(ray_session):
+    from text_extraction_system_ray.pipelines.sketch import (
+        CMS_TOPK, cms_heavy_hitters)
+    t = cms_heavy_hitters(SF).to_pandas()
+    assert len(t) == CMS_TOPK
+    # CMS never underestimates
+    assert (t["est_cnt"] >= t["exact_cnt"]).all()
+    # ranked by estimate desc, ties term asc
+    est = t["est_cnt"].to_numpy()
+    assert (est[:-1] >= est[1:]).all()
+    for i in range(len(t) - 1):
+        if est[i] == est[i + 1]:
+            assert t["term"].iloc[i] < t["term"].iloc[i + 1]
+    assert (t["rank"].to_numpy() == np.arange(1, len(t) + 1)).all()
+
+
+def test_cms_estimate_matches_bruteforce(ray_session):
+    """Driver-free cross-check: rebuild the counter matrix from exact
+    corpus counts in numpy and confirm the pipeline's estimates."""
+    import collections
+    import pyarrow.parquet as pq
+    from text_extraction_system_ray.pipelines.sketch import (
+        CMS_D, CMS_W, _cms_cols, cms_heavy_hitters)
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    cnt = collections.Counter(
+        w for x in texts for w in (x or "").lower().split())
+    terms = sorted(cnt)
+    cols = _cms_cols(terms)
+    cms = np.zeros(CMS_D * CMS_W, np.int64)
+    for i, term in enumerate(terms):
+        for r in range(CMS_D):
+            cms[r * CMS_W + cols[i, r]] += cnt[term]
+    t = cms_heavy_hitters(SF).to_pandas()
+    pos = {term: i for i, term in enumerate(terms)}
+    for _, row in t.iterrows():
+        i = pos[row["term"]]
+        want = min(cms[r * CMS_W + cols[i, r]] for r in range(CMS_D))
+        assert row["est_cnt"] == want
+        assert row["exact_cnt"] == cnt[row["term"]]

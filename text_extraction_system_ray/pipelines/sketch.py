@@ -332,3 +332,99 @@ def bloom_probe(sf_dir: str) -> pa.Table:
                          "hit": pa.array(hit)})
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ----------------------------------------------- Count-Min heavy hitters
+
+CMS_D = 4                  # hash rows
+CMS_W = 2048               # counters per row
+CMS_TOPK = 20
+
+
+def _cms_cols(terms: List[str]) -> "np.ndarray":
+    """(n, CMS_D) int64 counter columns per term — Kirsch-Mitzenmacher
+    double hashing over the md5 halves, small-modulus arithmetic so
+    numpy and DuckDB never overflow (the bloom_probe discipline)."""
+    import numpy as np
+    h1, h2 = _md5_two_halves(terms)
+    a = (h1 % CMS_W).astype(np.int64)
+    b = (h2 % CMS_W).astype(np.int64)
+    r = np.arange(CMS_D, dtype=np.int64)
+    return (a[:, None] + r[None, :] * b[:, None]) % CMS_W
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = CMS_TOPK) -> pa.Table:
+    """Top-``k`` corpus terms by Count-Min ESTIMATE (Cormode &
+    Muthukrishnan 2005), ties → term ASC; each row also carries the
+    exact count so the CMS overestimate property (est ≥ exact) is
+    visible in the result.
+
+    Scale shape: sketch build is per-batch distinct-term combiners →
+    (cell, count) increments → ONE tiny groupby over ≤ D·W cells (the
+    counter matrix is 4×2048 = 64 KiB regardless of corpus size —
+    that is the point of the sketch); the matrix broadcasts via
+    ``ray.put`` and candidate generation reuses vocab_topk's
+    term-partitioned top-k plan, keyed by estimate. Integer-exact
+    end-to-end, so the DuckDB oracle rebuilds the counter matrix and
+    the estimates bit-for-bit."""
+    import numpy as np
+
+    from .textstats import _vocab_partials
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    partials = ds.map_batches(_vocab_partials,
+                              batch_format="pyarrow").materialize()
+
+    def cells(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_pylist()
+        cnt = t.column("cnt").to_numpy()
+        if not terms:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        cols = _cms_cols(terms)
+        key = (np.arange(CMS_D, dtype=np.int64)[None, :] * CMS_W
+               + cols).ravel()
+        c = np.repeat(cnt, CMS_D)
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=c.astype(np.float64))
+        return pa.table({"cell": pa.array(uk, pa.int64()),
+                         "c": pa.array(sums.astype(np.int64), pa.int64())})
+
+    cms = np.zeros(CMS_D * CMS_W, np.int64)
+    for r in (partials.map_batches(cells, batch_format="pyarrow")
+              .groupby("cell").sum("c").take_all()):
+        cms[r["cell"]] = r["sum(c)"]
+    cms_ref = ray.put(cms)
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        table = ray.get(cms_ref)
+        terms_all = np.asarray(g.column("term").to_pylist(), dtype=object)
+        cnt_all = g.column("cnt").to_numpy()
+        terms_u, inv = np.unique(terms_all.astype(str),
+                                 return_inverse=True)
+        exact = np.bincount(inv, weights=cnt_all.astype(np.float64)) \
+            .astype(np.int64)
+        cols = _cms_cols(list(terms_u))
+        est = table[(np.arange(CMS_D, dtype=np.int64)[None, :] * CMS_W
+                     + cols)].min(axis=1)
+        order = np.lexsort((terms_u, -est))[:k]
+        return pa.table({
+            "term": pa.array(terms_u[order], pa.string()),
+            "est_cnt": pa.array(est[order], pa.int64()),
+            "exact_cnt": pa.array(exact[order], pa.int64())})
+
+    cands = partials.groupby("part").map_groups(part_topk,
+                                                batch_format="pyarrow")
+    allc = pa.concat_tables(
+        [b for b in cands.iter_batches(batch_format="pyarrow")
+         if b.num_rows])
+    terms = np.asarray(allc.column("term").to_pylist(), dtype=object)
+    est = allc.column("est_cnt").to_numpy()
+    exact = allc.column("exact_cnt").to_numpy()
+    order = np.lexsort((terms.astype(str), -est))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "term": pa.array(terms[order].astype(str), pa.string()),
+        "est_cnt": pa.array(est[order], pa.int64()),
+        "exact_cnt": pa.array(exact[order], pa.int64())})
