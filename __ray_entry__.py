@@ -565,6 +565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics #2: transitive triangles via the standard
         # wedge-build + close plan (two hash-partitioned Dataset.joins)
         "link_triangles": _links.link_triangles,
+        # weakly-connected components: guarded driver union-find /
+        # distributed min-label propagation (no driver label vector)
+        "link_components": _links.link_components,
         # HTTP status-line parse through real WARC record bytes
         "warc_http_status": _warc_http_status,
         # container → flagship: WARC shards feed the extraction pipeline
@@ -2398,6 +2401,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT http_status, count(*) AS n_records,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
             FROM s GROUP BY 1
+        """,
+        # WCC: the oracle computes min-reachable-node per node with a
+        # recursive CTE over the regenerated undirected edge set
+        "link_components": """
+            WITH RECURSIVE params AS (
+                SELECT count(*) AS total FROM documents),
+            edges AS (
+              SELECT DISTINCT d.doc_id AS src,
+                     (d.doc_id * 31 + 97 * j.j) % p.total AS dst
+              FROM documents d CROSS JOIN params p
+              JOIN range(1, 6) j(j) ON j.j <= 1 + d.doc_id % 5
+              WHERE d.doc_id % 53 <> 11 AND d.doc_id % 41 <> 7
+                AND (d.doc_id * 31 + 97 * j.j) % p.total <> d.doc_id),
+            und AS (SELECT src AS a, dst AS b FROM edges
+                    UNION SELECT dst, src FROM edges),
+            reach(node, r) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT reach.node, und.b
+                FROM reach JOIN und ON und.a = reach.r
+            )
+            SELECT node, CAST(MIN(r) AS BIGINT) AS component
+            FROM reach GROUP BY node
         """,
         "link_triangles": """
             WITH params AS (SELECT count(*) AS total FROM documents),

@@ -210,3 +210,35 @@ def test_link_triangles_driver_kernel_small_graph(ray_session):
         assert links._driver_triangles(raw) is None
     finally:
         links.TRIANGLE_DRIVER_WEDGE_LIMIT = old
+
+
+def test_link_components_plans_pinned_equal(ray_session, monkeypatch):
+    """Driver union-find and the distributed min-label-propagation plan
+    must produce identical (node, component) labelings."""
+    from text_extraction_system_ray.pipelines import links
+
+    base = links.link_components(SF).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert len(base) > 0
+    # canonical labels: every component id is a member of itself
+    comps = set(base["component"])
+    nodes = set(base["node"])
+    assert comps <= nodes
+    monkeypatch.setattr(links, "COMPONENT_DRIVER_EDGE_LIMIT", 0)
+    dist = links.link_components(SF).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert base.equals(dist)
+
+
+def test_driver_components_small_graph(ray_session):
+    """Hand-checkable: two components {1,2,3} and {7,8}, canonical
+    labels are the component minima."""
+    import pyarrow as pa
+    import ray.data as rd
+    from text_extraction_system_ray.pipelines import links
+
+    edges = pa.table({"src": pa.array([1, 2, 7], pa.int64()),
+                      "dst": pa.array([2, 3, 8], pa.int64())})
+    out = links._driver_components(rd.from_arrow(edges).materialize()) \
+        .to_pandas().set_index("node")["component"].to_dict()
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}

@@ -652,3 +652,141 @@ def _hot_triangles(e1: "ray.data.Dataset", hot: np.ndarray) -> int:
 
     return sum(r["n"] for r in
                e1.map_batches(probe, batch_format="pyarrow").take_all())
+
+
+# ------------------------------------------------ connected components
+
+# same house guard pattern as link_triangles: small edge sets finish in
+# one numpy union-find on the driver; larger ones run the distributed
+# min-label propagation plan. Tests pin the plans equal.
+COMPONENT_DRIVER_EDGE_LIMIT = 2_000_000
+COMPONENT_MAX_ITERS = 64
+
+
+def link_components(sf_dir: str) -> pa.Table:
+    """Weakly-connected components of the link graph: one row per node
+    ``(node, component)`` where ``component`` is the smallest node id
+    in the component (a canonical, order-free label).
+
+    Scale shape: the deduped pair scan is materialized once; above the
+    driver guard the plan is iterative MIN-LABEL PROPAGATION — labels
+    live as a ``(node, lbl)`` Dataset co-partitioned with the
+    (undirected) edge list by hash(node), each round is one hash join
+    (labels⋈edges) + one ``groupby(node).min`` over the message union,
+    and convergence is detected with a tiny changed-row count — the
+    same no-driver-vector discipline as ``pagerank_ranks_ds``.
+    Label propagation converges to the component minimum in ≤ diameter
+    rounds."""
+    raw = _edges(sf_dir).materialize()
+    if raw.count() <= COMPONENT_DRIVER_EDGE_LIMIT:
+        return _driver_components(raw)
+    return _distributed_components(raw)
+
+
+def _driver_components(raw: "ray.data.Dataset") -> pa.Table:
+    df = raw.to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for s, d in zip(src, dst):
+        ra, rb = find(idx[int(s)]), find(idx[int(d)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp_min: dict = {}
+    for i, n in enumerate(nodes):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, int(n)), int(n))
+    labels = np.array([comp_min[find(i)] for i in range(len(nodes))],
+                      np.int64)
+    order = np.argsort(nodes)
+    return pa.table({"node": pa.array(nodes[order], pa.int64()),
+                     "component": pa.array(labels[order], pa.int64())})
+
+
+def _distributed_components(raw: "ray.data.Dataset") -> pa.Table:
+    import pyarrow.compute as pc
+
+    nparts = _join_partitions()
+    # undirected view, deduped corpus-wide
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        return pa.table({
+            "a": pa.array(np.concatenate([s, d]), pa.int64()),
+            "b": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    edges = (raw.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby(["a", "b"]).count()
+             .map_batches(lambda t: pa.table({"a": t.column("a"),
+                                              "b": t.column("b")}),
+                          batch_format="pyarrow")
+             .materialize())
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        n = np.unique(t.column("a").to_numpy())
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "lbl": pa.array(n, pa.int64())})
+
+    labels = (edges.map_batches(node_rows, batch_format="pyarrow")
+              .groupby("node").min("lbl")
+              .map_batches(lambda t: pa.table(
+                  {"node": t.column("node"),
+                   "lbl": t.column("min(lbl)")}),
+                  batch_format="pyarrow").materialize())
+
+    def min_msgs(t: pa.Table) -> pa.Table:
+        # per-batch combiner: one (node=b, lbl=min) row per distinct b
+        b = t.column("b").to_numpy()
+        lbl = t.column("lbl").to_numpy()
+        order = np.argsort(b, kind="stable")
+        bs, ls = b[order], lbl[order]
+        starts = (np.concatenate([[0], np.flatnonzero(np.diff(bs)) + 1])
+                  if len(bs) else np.zeros(0, np.int64))
+        mins = (np.minimum.reduceat(ls, starts)
+                if len(bs) else np.zeros(0, np.int64))
+        return pa.table({"node": pa.array(bs[starts], pa.int64()),
+                         "lbl": pa.array(mins, pa.int64())})
+
+    for _ in range(COMPONENT_MAX_ITERS):
+        msgs = (edges.join(labels, join_type="inner",
+                           num_partitions=nparts,
+                           on=("a",), right_on=("node",))
+                .map_batches(min_msgs, batch_format="pyarrow"))
+        new_labels = (msgs.union(labels)
+                      .groupby("node").min("lbl")
+                      .map_batches(lambda t: pa.table(
+                          {"node": t.column("node"),
+                           "lbl": t.column("min(lbl)")}),
+                          batch_format="pyarrow").materialize())
+        # convergence: any row whose label shrank this round?
+        joined = new_labels.join(
+            labels.map_batches(lambda t: pa.table(
+                {"node2": t.column("node"), "old": t.column("lbl")}),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=nparts,
+            on=("node",), right_on=("node2",))
+        changed = joined.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(pc.cast(pc.not_equal(
+                    t.column("lbl"), t.column("old")),
+                    pa.int64())).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow")
+        n_changed = sum(r["n"] for r in changed.take_all())
+        labels = new_labels
+        if n_changed == 0:
+            break
+
+    out = labels.to_pandas().sort_values("node")
+    return pa.table({"node": pa.array(out["node"].to_numpy(), pa.int64()),
+                     "component": pa.array(out["lbl"].to_numpy(),
+                                           pa.int64())})
