@@ -233,6 +233,51 @@ def _office_xlsx_summary(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(run, batch_format="pyarrow", batch_size=64)
 
 
+def _feed_census(sf_dir: str) -> ray.data.Dataset:
+    """RSS/Atom chain, SQL-checkable end-to-end: each document becomes
+    a spec-valid feed (RSS 2.0 for even doc_ids, Atom for odd) with
+    ``1 + doc_id % 5`` items dated ``2021-01-01 + (doc_id*7 + j)``
+    days; the REAL parser (ElementTree + RFC 822 / RFC 3339 dates)
+    reads it back and the summary is pure doc_id arithmetic — a broken
+    date parse or namespace walk breaks the hash."""
+    import datetime as _dt
+
+    from text_extraction_system_ray.functions.feeds import (
+        build_atom, build_rss, feed_item_day, parse_feed)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    base = _dt.datetime(2021, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        ftype, n_items, latest, titles = [], [], [], []
+        for doc_id in ids:
+            items = [(f"Item {j} of {doc_id}",
+                      f"https://example.org/doc/{doc_id:08d}?i={j}",
+                      base + _dt.timedelta(days=doc_id * 7 + j))
+                     for j in range(1, 2 + doc_id % 5)]
+            payload = (build_rss(f"Feed {doc_id}", items)
+                       if doc_id % 2 == 0
+                       else build_atom(f"Feed {doc_id}", items))
+            f = parse_feed(payload)
+            ftype.append(f["feed_type"] if f else "")
+            n_items.append(len(f["items"]) if f else 0)
+            latest.append(max((feed_item_day(ts)
+                               for _t, _l, ts in f["items"]),
+                              default=-1) if f else -1)
+            titles.append(f["title"] if f else "")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "feed_type": pa.array(ftype, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "n_items": pa.array(n_items, pa.int64()),
+            "latest_day": pa.array(latest, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=128)
+
+
 def _sitemap_census(sf_dir: str) -> ray.data.Dataset:
     from text_extraction_system_ray.sources.sitemap import sitemap_census
     return sitemap_census(sf_dir)
@@ -582,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitemaps.org protocol: build gz urlsets per source, parse them
         # back, census what the PARSER read (loc + lastmod grammar)
         "sitemap_census": _sitemap_census,
+        # RSS 2.0 / Atom feeds parsed by the real ElementTree chain
+        "feed_census": _feed_census,
         # HyperLogLog distinct-count sketch: per-batch register
         # combiners → one groupby-max → 1024-row driver finish; the
         # whole sketch is integer-exact and oracle-reproducible
@@ -2401,6 +2448,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT http_status, count(*) AS n_records,
                    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
             FROM s GROUP BY 1
+        """,
+        # feeds: 2021-01-01 is epoch day 18628; item j of doc d is
+        # dated 18628 + 7d + j, so the latest is 18628 + 7d + (1+d%5)
+        "feed_census": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss'
+                        ELSE 'atom' END AS feed_type,
+                   'Feed ' || CAST(doc_id AS VARCHAR) AS title,
+                   CAST(1 + doc_id % 5 AS BIGINT) AS n_items,
+                   CAST(18628 + doc_id * 7 + 1 + doc_id % 5 AS BIGINT)
+                       AS latest_day
+            FROM documents
         """,
         # WCC: the oracle computes min-reachable-node per node with a
         # recursive CTE over the regenerated undirected edge set

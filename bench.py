@@ -152,7 +152,8 @@ def run_queries() -> dict:
               "sitemap_census", "hll_distinct", "kmv_source_sketch",
               "kmv_source_overlap", "warc_extract_summary", "office_extract_summary",
               "hash_sample_quantiles", "bloom_probe", "link_triangles",
-              "cms_heavy_hitters", "gopher_filter", "link_components"]
+              "cms_heavy_hitters", "gopher_filter", "link_components",
+              "feed_census"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

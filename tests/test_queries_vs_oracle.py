@@ -95,7 +95,7 @@ def test_all_queries_run(entrymod):
     "sitemap_census", "hll_distinct", "kmv_source_sketch",
     "kmv_source_overlap", "warc_extract_summary", "office_extract_summary",
     "office_odt_summary", "office_xlsx_summary",
-    "cms_heavy_hitters", "gopher_filter", "link_components",
+    "cms_heavy_hitters", "gopher_filter", "link_components", "feed_census",
     "hash_sample_quantiles",
     "bloom_probe", "link_triangles",
 ])
