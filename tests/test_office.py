@@ -119,3 +119,38 @@ def test_office_pdf_parses_with_default_config():
     text = "".join(c.ch for p in pages for b in p.blocks
                    for ln in b.lines for c in ln)
     assert text == "two words"
+
+
+def test_office_fuzz_never_raises():
+    """Malformed office-shaped payloads become error rows (or parse to
+    whatever is recoverable) — never exceptions out of extract_row."""
+    from hypothesis import given, settings, strategies as st
+
+    docx = build_docx([(1, "H"), (0, "body words here")])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(docx) - 1),
+           st.binary(min_size=1, max_size=8))
+    def mutate(pos, junk):
+        payload = docx[:pos] + junk + docx[pos + len(junk):]
+        row = extract_row("u", payload)
+        assert row["status"] in ("ok", "error")
+        assert isinstance(row["text"], str)
+
+    mutate()
+
+
+def test_office_xml_bomb_is_bounded():
+    # deeply nested XML must not blow the stack or hang
+    import io
+    import zipfile
+    evil = ("<w:p>" * 2000) + ("</w:p>" * 2000)
+    doc = ('<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+           'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+           + evil + "</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    row = extract_row("u", buf.getvalue())
+    assert row["status"] in ("ok", "error")

@@ -117,3 +117,58 @@ def test_corpus_plants_encrypted_rows(ray_session):
         tb = "".join(c.ch for p in b for blk in p.blocks
                      for ln in blk.lines for c in ln)
         assert ta == tb and ta
+
+
+def test_string_span_scanner_handles_nesting_and_escapes():
+    body = rb"""<< /T (lit (nested) \) esc) /H <48656c6c6f> /D << /X 1 >>
+                /S (tr\\ailing) >>"""
+    spans = list(C._find_string_spans(body))
+    texts = [body[a:b] for a, b in spans]
+    assert texts[0] == rb"(lit (nested) \) esc)"
+    assert texts[1] == b"<48656c6c6f>"
+    assert texts[2] == rb"(tr\\ailing)"
+    assert C._pdf_string_bytes(texts[1]) == b"Hello"
+    assert C._pdf_string_bytes(texts[0]) == b"lit (nested) ) esc"
+
+
+def test_pdf_string_bytes_escapes_and_octal():
+    assert C._pdf_string_bytes(rb"(a\tb\nc)") == b"a\tb\nc"
+    assert C._pdf_string_bytes(rb"(\101\102\7)") == b"AB\x07"
+    assert C._pdf_string_bytes(b"<4 1 4 2>") == b"AB"   # ws in hex
+    assert C._pdf_string_bytes(b"<414>") == b"A@"       # odd → pad 0
+
+
+def test_to_literal_roundtrip_arbitrary_bytes():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64))
+    def roundtrip(bs):
+        lit = C._to_literal(bs)
+        assert C._pdf_string_bytes(lit) == bs
+        # the literal must also be re-scannable as exactly one span
+        spans = list(C._find_string_spans(lit))
+        assert spans == [(0, len(lit))]
+
+    roundtrip()
+
+
+def test_encrypt_decrypt_string_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(min_size=0, max_size=100),
+           st.sampled_from(["rc4-40", "rc4-128", "aesv2"]))
+    def roundtrip(data, method):
+        keylen = {"rc4-40": 5, "rc4-128": 16, "aesv2": 16}[method]
+        key = bytes(range(1, keylen + 1))
+        ok = C.object_key(key, 7, 0, method == "aesv2")
+        if method == "aesv2":
+            iv = b"\x11" * 16
+            enc = iv + C.aes128_cbc_encrypt(ok, iv, data)
+            dec = C.aes128_cbc_decrypt(ok, enc[:16], enc[16:])
+        else:
+            dec = C.rc4(ok, C.rc4(ok, data))
+        assert dec == data
+
+    roundtrip()
