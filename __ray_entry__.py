@@ -122,17 +122,20 @@ def _extract_pages_summary(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
-def _office_extract_summary(sf_dir: str) -> ray.data.Dataset:
+def _office_doc_summary(sf_dir: str, builder_name: str,
+                        prefix: str) -> ray.data.Dataset:
     """Office-intake chain, SQL-checkable end-to-end: every document is
-    re-packed as a DOCX (heading 'Doc {id} office' + the raw text as
-    one body paragraph), run through the REAL pipeline (zip sniff →
-    OOXML parse → normalize-to-PDF → content-stream extraction), and
+    re-packed as a word-processing file (heading 'Doc {id} office' +
+    the raw text as one body paragraph) by ``builder_name``
+    (build_docx / build_odt), run through the REAL pipeline (zip sniff
+    → XML parse → normalize-to-PDF → content-stream extraction), and
     summarized with word/char counts that are wrap-invariant — the
     DuckDB oracle recomputes them from ``documents`` alone, so a broken
     converter, zip reader or PDF round-trip breaks the hash match."""
     from text_extraction_system_ray.extract import extract_row
-    from text_extraction_system_ray.functions.office import build_docx
+    from text_extraction_system_ray.functions import office as _office
 
+    builder = getattr(_office, builder_name)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -141,10 +144,10 @@ def _office_extract_summary(sf_dir: str) -> ray.data.Dataset:
         texts = t.column("text").to_pylist()
         n_words, n_nonspace, n_toc, status, kind = [], [], [], [], []
         for doc_id, text in zip(ids, texts):
-            payload = build_docx([(1, f"Doc {doc_id} office"),
-                                  (0, text or "")])
-            row = extract_row(f"https://example.org/off/{doc_id:08d}",
-                              payload)
+            payload = builder([(1, f"Doc {doc_id} office"),
+                               (0, text or "")])
+            row = extract_row(
+                f"https://example.org/{prefix}/{doc_id:08d}", payload)
             status.append(row["status"])
             kind.append(row["kind"])
             n_words.append(len(row["text"].split()))
@@ -160,41 +163,16 @@ def _office_extract_summary(sf_dir: str) -> ray.data.Dataset:
         })
 
     return ds.map_batches(run, batch_format="pyarrow", batch_size=64)
+
+
+def _office_extract_summary(sf_dir: str) -> ray.data.Dataset:
+    return _office_doc_summary(sf_dir, "build_docx", "off")
 
 
 def _office_odt_summary(sf_dir: str) -> ray.data.Dataset:
-    """Same chain as ``office_extract_summary`` through the ODF parser:
-    text:h heading + text:p body, tab/space expansion exercised."""
-    from text_extraction_system_ray.extract import extract_row
-    from text_extraction_system_ray.functions.office import build_odt
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-    def run(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        n_words, n_nonspace, n_toc, status, kind = [], [], [], [], []
-        for doc_id, text in zip(ids, texts):
-            payload = build_odt([(1, f"Doc {doc_id} office"),
-                                 (0, text or "")])
-            row = extract_row(f"https://example.org/odt/{doc_id:08d}",
-                              payload)
-            status.append(row["status"])
-            kind.append(row["kind"])
-            n_words.append(len(row["text"].split()))
-            n_nonspace.append(len("".join(row["text"].split())))
-            n_toc.append(len(row["toc"]))
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "status": pa.array(status, pa.string()),
-            "kind": pa.array(kind, pa.string()),
-            "n_words": pa.array(n_words, pa.int64()),
-            "n_nonspace": pa.array(n_nonspace, pa.int64()),
-            "n_toc": pa.array(n_toc, pa.int64()),
-        })
-
-    return ds.map_batches(run, batch_format="pyarrow", batch_size=64)
+    """Same chain through the ODF parser: text:h heading + text:p
+    body, tab/space expansion exercised."""
+    return _office_doc_summary(sf_dir, "build_odt", "odt")
 
 
 def _office_xlsx_summary(sf_dir: str) -> ray.data.Dataset:
@@ -253,9 +231,12 @@ def _feed_census(sf_dir: str) -> ray.data.Dataset:
         ids = t.column("doc_id").to_pylist()
         ftype, n_items, latest, titles = [], [], [], []
         for doc_id in ids:
+            # modulo keeps dates inside datetime range at ANY corpus
+            # scale (doc_id*7 days would pass year 9999 near 4e5 docs)
+            day0 = (doc_id % 100_000) * 7
             items = [(f"Item {j} of {doc_id}",
                       f"https://example.org/doc/{doc_id:08d}?i={j}",
-                      base + _dt.timedelta(days=doc_id * 7 + j))
+                      base + _dt.timedelta(days=day0 + j))
                      for j in range(1, 2 + doc_id % 5)]
             payload = (build_rss(f"Feed {doc_id}", items)
                        if doc_id % 2 == 0
@@ -2450,15 +2431,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1
         """,
         # feeds: 2021-01-01 is epoch day 18628; item j of doc d is
-        # dated 18628 + 7d + j, so the latest is 18628 + 7d + (1+d%5)
+        # dated 18628 + 7(d mod 1e5) + j (the modulo keeps dates in
+        # datetime range at any corpus scale), so the latest is
+        # 18628 + 7(d mod 1e5) + (1 + d%5)
         "feed_census": """
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'rss'
                         ELSE 'atom' END AS feed_type,
                    'Feed ' || CAST(doc_id AS VARCHAR) AS title,
                    CAST(1 + doc_id % 5 AS BIGINT) AS n_items,
-                   CAST(18628 + doc_id * 7 + 1 + doc_id % 5 AS BIGINT)
-                       AS latest_day
+                   CAST(18628 + (doc_id % 100000) * 7 + 1 + doc_id % 5
+                        AS BIGINT) AS latest_day
             FROM documents
         """,
         # WCC: the oracle computes min-reachable-node per node with a

@@ -20,7 +20,7 @@ from .functions.assembly import (AssembledDoc, assemble_empty, assemble_html,
                                  assemble_image, assemble_pdf,
                                  sections_from_toc)
 from .functions.html_extract import ExtractError, extract_html
-from .functions.pdf_extract import extract_pdf, extract_pdf_toc
+from .functions.pdf_extract import extract_pdf_full
 
 
 def image_dims(payload: bytes):
@@ -132,10 +132,12 @@ def extract_row(url: str, payload: Optional[bytes], lang_hint: str = "",
                     payload = office_to_pdf(payload)
                 except ValueError as ex:
                     return error_row(url, kind, str(ex), lang_hint)
-            pages = extract_pdf(payload, cfg)
+            # ONE object scan + (if encrypted) one decrypt serves both
+            # the page IR and the TOC walk
+            pages, toc = extract_pdf_full(payload, cfg)
             doc = assemble_pdf(pages, forced,
                                tables_enable=cfg.table_extraction_enable)
-            doc.toc = extract_pdf_toc(payload, cfg)
+            doc.toc = toc
             if cfg.read_sections_from_toc and doc.toc:
                 doc.sections = sections_from_toc(
                     doc.toc, doc.char_spans, doc.pages, len(doc.text))

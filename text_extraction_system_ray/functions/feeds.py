@@ -22,10 +22,7 @@ _EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
 def build_rss(channel_title: str,
               items: List[Tuple[str, str, _dt.datetime]]) -> bytes:
-    def esc(s: str) -> str:
-        return (s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
-
+    from .office import xml_escape as esc
     parts = ['<?xml version="1.0" encoding="UTF-8"?>',
              '<rss version="2.0"><channel>',
              f"<title>{esc(channel_title)}</title>",
@@ -44,10 +41,7 @@ def build_rss(channel_title: str,
 
 def build_atom(feed_title: str,
                items: List[Tuple[str, str, _dt.datetime]]) -> bytes:
-    def esc(s: str) -> str:
-        return (s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
-
+    from .office import xml_escape as esc
     parts = ['<?xml version="1.0" encoding="UTF-8"?>',
              '<feed xmlns="http://www.w3.org/2005/Atom">',
              f"<title>{esc(feed_title)}</title>",
@@ -57,7 +51,7 @@ def build_atom(feed_title: str,
         parts.append(
             "<entry>"
             f"<title>{esc(title)}</title>"
-            f'<link href="{esc(link)}"/>'
+            f'<link href="{esc(link, attr=True)}"/>'
             f"<id>urn:item:{esc(link)}</id>"
             f"<updated>{ts.isoformat()}</updated>"
             "</entry>")

@@ -30,6 +30,16 @@ _SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
+
+def xml_escape(s: str, attr: bool = False) -> str:
+    """One shared XML escaper for every fixture builder (office +
+    feeds): & < > always, plus quotes in attribute context."""
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if attr:
+        s = s.replace('"', "&quot;").replace("'", "&apos;")
+    return s
+
+
 WRAP_COLS = 60
 LINES_PER_PAGE = 30
 FONT_SIZE = 12.0
@@ -109,7 +119,9 @@ def docx_paragraphs(payload: bytes) -> List[Tuple[int, str]]:
 
 def odt_paragraphs(payload: bytes) -> List[Tuple[int, str]]:
     """ODF text: ``text:h`` (with outline-level) and ``text:p``;
-    ``text:tab``/``text:s``/``text:line-break`` expand per spec."""
+    ``text:tab``/``text:s``/``text:line-break`` expand per spec.
+    Table rows flatten to one paragraph per row with cells joined by
+    tabs — the same reading-order rule as the docx path."""
     root = ElementTree.fromstring(_zip_read(payload, "content.xml"))
     out: List[Tuple[int, str]] = []
 
@@ -130,14 +142,23 @@ def odt_paragraphs(payload: bytes) -> List[Tuple[int, str]]:
                 parts.append(child.tail)
         return "".join(parts)
 
-    for el in root.iter():
+    def walk(el) -> None:
         if el.tag == f"{_TEXT}h":
             lvl = int(el.get(f"{_TEXT}outline-level", "1"))
             out.append((lvl, node_text(el)))
         elif el.tag == f"{_TEXT}p":
-            # skip paragraphs nested in table cells here; rows are
-            # flattened below in document order by the cell walk
             out.append((0, node_text(el)))
+        elif el.tag == f"{_TABLE}table-row":
+            cells = []
+            for tc in el.findall(f"{_TABLE}table-cell"):
+                cells.append(" ".join(node_text(p)
+                                      for p in tc.findall(f"{_TEXT}p")))
+            out.append((0, "\t".join(cells)))
+        else:
+            for child in el:
+                walk(child)
+
+    walk(root)
     return out
 
 
@@ -153,8 +174,11 @@ def xlsx_rows(payload: bytes) -> List[List[str]]:
                 shared.append("".join(t.text or ""
                                       for t in si.iter(f"{_SSML}t")))
         rows: List[List[str]] = []
-        sheets = sorted(n for n in names
-                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        # NUMERIC sheet order (lexicographic puts sheet10 before sheet2)
+        sheets = sorted(
+            (n for n in names
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)", n).group(1)))
         for sheet in sheets:
             root = ElementTree.fromstring(z.read(sheet))
             for row in root.iter(f"{_SSML}row"):
@@ -256,10 +280,7 @@ def build_docx(paragraphs: List[Tuple[int, str]],
                tables: Optional[List[List[List[str]]]] = None) -> bytes:
     """Minimal valid OOXML text document: [(heading_level, text)] plus
     optional tables (list of row-of-cell-texts grids appended at end)."""
-    def esc(s: str) -> str:
-        return (s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
-
+    esc = xml_escape
     body = []
     for lvl, text in paragraphs:
         style = (f'<w:pPr><w:pStyle w:val="Heading{lvl}"/></w:pPr>'
@@ -298,10 +319,7 @@ def build_docx(paragraphs: List[Tuple[int, str]],
 
 
 def build_odt(paragraphs: List[Tuple[int, str]]) -> bytes:
-    def esc(s: str) -> str:
-        return (s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
-
+    esc = xml_escape
     body = []
     for lvl, text in paragraphs:
         t = esc(text).replace("\t", "<text:tab/>")
@@ -336,10 +354,7 @@ def build_xlsx(rows: List[List[object]]) -> bytes:
             strings.append(s)
         return sidx[s]
 
-    def esc(s: str) -> str:
-        return (s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
-
+    esc = xml_escape
     xml_rows = []
     for ri, row in enumerate(rows, start=1):
         cells = []

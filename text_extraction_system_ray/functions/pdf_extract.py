@@ -44,7 +44,7 @@ from .html_extract import ExtractError
 from .pdf_build import GLYPH_W, build_pdf
 from ..config import PipelineConfig
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
@@ -375,8 +375,10 @@ class _PdfDoc:
     def __init__(self, payload: bytes, cfg: PipelineConfig):
         self.cfg = cfg
         self.objs: Dict[int, bytes] = {}
+        gens: Dict[int, int] = {}
         for m in _OBJ_RE.finditer(payload):
-            self.objs[int(m.group(1))] = m.group(2)
+            self.objs[int(m.group(1))] = m.group(3)
+            gens[int(m.group(1))] = int(m.group(2))
         if not self.objs:
             raise ExtractError("pdf: no objects found")
         # /Encrypt in the trailer → standard-security-handler decrypt
@@ -387,7 +389,7 @@ class _PdfDoc:
         if enc is not None:
             try:
                 self.objs = pdfcrypt.decrypt_objects(
-                    self.objs, enc, cfg.pdf_password)
+                    self.objs, enc, cfg.pdf_password, gens=gens)
             except pdfcrypt.BadPassword:
                 raise ExtractError("pdf: wrong or missing password")
             except ValueError as ex:
@@ -898,7 +900,15 @@ def parse_content_text(content: bytes, page: PdfPageIR, cfg: PipelineConfig,
 
 def extract_pdf(payload: bytes, cfg: PipelineConfig) -> List[PdfPageIR]:
     """Parse a whole PDF payload into per-page IR (page-tree order)."""
-    doc = _PdfDoc(payload, cfg)
+    return extract_pdf_pages(_PdfDoc(payload, cfg), cfg)
+
+
+def extract_pdf_pages(doc: "_PdfDoc",
+                      cfg: PipelineConfig) -> List[PdfPageIR]:
+    """Per-page IR from an already-parsed (and, if encrypted,
+    already-decrypted) document — callers needing both pages and TOC
+    build ``_PdfDoc`` ONCE instead of re-running the object scan and
+    the standard-handler decrypt per consumer."""
     pages: List[PdfPageIR] = []
     for i, pobj in enumerate(doc.pages, start=1):
         pg = PdfPageIR(number=i, width=pobj.media[0], height=pobj.media[1],
@@ -1038,7 +1048,10 @@ def extract_pdf_toc(payload: bytes, cfg: PipelineConfig) -> List[dict]:
     """Parse the /Outlines tree into TOC entries ``{title, level, left,
     top, page}`` in document order (ref: ``GetTOCFromPDF.java:37-95``,
     sorted by page at ``:92``)."""
-    doc = _PdfDoc(payload, cfg)
+    return extract_pdf_toc_from_doc(_PdfDoc(payload, cfg))
+
+
+def extract_pdf_toc_from_doc(doc: "_PdfDoc") -> List[dict]:
     page_index = {p.num: i + 1 for i, p in enumerate(doc.pages)}
     root = None
     for num, body in doc.objs.items():
@@ -1089,5 +1102,6 @@ def extract_pdf_toc(payload: bytes, cfg: PipelineConfig) -> List[dict]:
 
 
 def extract_pdf_full(payload: bytes, cfg: PipelineConfig):
-    """(pages IR, toc entries) in one parse pass each."""
-    return extract_pdf(payload, cfg), extract_pdf_toc(payload, cfg)
+    """(pages IR, toc entries) from ONE object scan + decrypt."""
+    doc = _PdfDoc(payload, cfg)
+    return extract_pdf_pages(doc, cfg), extract_pdf_toc_from_doc(doc)

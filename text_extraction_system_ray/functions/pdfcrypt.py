@@ -421,8 +421,13 @@ def _to_literal(bs: bytes) -> bytes:
 
 
 def decrypt_objects(objs: Dict[int, bytes], info: EncryptionInfo,
-                    password: str = "") -> Dict[int, bytes]:
-    """Return a fully-decrypted object map (streams and strings)."""
+                    password: str = "",
+                    gens: Optional[Dict[int, int]] = None
+                    ) -> Dict[int, bytes]:
+    """Return a fully-decrypted object map (streams and strings).
+    ``gens`` maps object number → generation number (Algorithm 1
+    derives the per-object key from BOTH; incrementally-updated
+    real-world PDFs carry gen > 0)."""
     key = authenticate(password.encode("latin-1", "replace"),
                        info.o_entry, info.u_entry, info.p, info.id0,
                        info.rev, info.keylen)
@@ -433,7 +438,8 @@ def decrypt_objects(objs: Dict[int, bytes], info: EncryptionInfo,
         if num == info.enc_num:
             out[num] = body
             continue
-        ok = object_key(key, num, 0, info.aes)
+        ok = object_key(key, num,
+                        gens.get(num, 0) if gens else 0, info.aes)
         si = body.find(b"stream")
         dict_part = body[:si] if si >= 0 else body
         # strings first (dict part only)
@@ -517,9 +523,10 @@ def encrypt_pdf(payload: bytes, user_pw: str = "", owner_pw: str = "",
     max_num = 0
     for m in obj_re.finditer(payload):
         num = int(m.group(1))
+        gen = int(m.group(2))
         max_num = max(max_num, num)
         body = m.group(3)
-        ok = object_key(key, num, 0, aes)
+        ok = object_key(key, num, gen, aes)
 
         def enc_bytes(raw: bytes) -> bytes:
             if aes:

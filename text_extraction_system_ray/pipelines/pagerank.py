@@ -118,11 +118,8 @@ def pagerank_ranks(sf_dir: str, iterations: int = ITERATIONS,
 
 
 def _rank_join_partitions() -> int:
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:                        # pragma: no cover - env gate
-        cpus = 8
-    return max(4, cpus // 2)
+    from .util import join_partitions
+    return join_partitions()
 
 
 def pagerank_ranks_ds(sf_dir: str, iterations: int = ITERATIONS,

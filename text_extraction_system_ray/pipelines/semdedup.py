@@ -97,11 +97,20 @@ def _seed_groups(seeds: np.ndarray) -> dict:
     centers_idx = np.arange(0, k, step)[:G]
     C = seeds[centers_idx]
     cn = (C * C).sum(axis=1)
-    d2 = ((seeds * seeds).sum(axis=1)[:, None]
-          - 2 * (seeds @ C.T) + cn[None, :])
-    grp = np.argmin(d2, axis=1)
+    # assign + radius in bounded chunks: a one-shot k×G distance matrix
+    # is multi-GB at the seed counts this path targets (k=1e6, G=1e3 →
+    # 8 GB of int64) — chunking keeps peak memory at CHUNK×G
+    CHUNK = 65_536
+    grp = np.empty(k, np.int64)
+    min_d2 = np.empty(k, np.int64)
+    for lo in range(0, k, CHUNK):
+        hi = min(k, lo + CHUNK)
+        s = seeds[lo:hi]
+        d2 = ((s * s).sum(axis=1)[:, None] - 2 * (s @ C.T) + cn[None, :])
+        grp[lo:hi] = np.argmin(d2, axis=1)
+        min_d2[lo:hi] = d2[np.arange(hi - lo), grp[lo:hi]]
     members = [np.flatnonzero(grp == g) for g in range(len(centers_idx))]
-    rad = np.array([np.sqrt(float(d2[m, g].max())) if m.size else 0.0
+    rad = np.array([np.sqrt(float(min_d2[m].max())) if m.size else 0.0
                     for g, m in enumerate(members)])
     return {"C": C, "cnorm": cn, "members": members, "rad": rad}
 

@@ -29,3 +29,16 @@ def scaled_int(x, nd: int) -> np.ndarray:
     scale = 10.0 ** nd
     a = np.asarray(x, dtype=np.float64)
     return (np.copysign(np.floor(np.abs(a) * scale + 0.5), a)).astype(np.int64)
+
+
+def join_partitions() -> int:
+    """Hash-join/shuffle partition count derived from the cluster, not
+    hardcoded: one partition per 2 cores, floor 4. Shared by every
+    join-based plan (links, pagerank, ...) so a tuning change applies
+    everywhere at once."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:                        # pragma: no cover - env gate
+        cpus = 8
+    return max(4, cpus // 2)
