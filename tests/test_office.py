@@ -154,3 +154,52 @@ def test_office_xml_bomb_is_bounded():
         z.writestr("word/document.xml", doc)
     row = extract_row("u", buf.getvalue())
     assert row["status"] in ("ok", "error")
+
+
+def test_odt_tables_flatten_like_docx():
+    import io
+    import zipfile
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+        "<office:body><office:text>"
+        "<text:p>before</text:p>"
+        "<table:table>"
+        "<table:table-row>"
+        "<table:table-cell><text:p>a1</text:p></table:table-cell>"
+        "<table:table-cell><text:p>b1</text:p></table:table-cell>"
+        "</table:table-row>"
+        "<table:table-row>"
+        "<table:table-cell><text:p>a2</text:p></table:table-cell>"
+        "<table:table-cell><text:p>b2</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table>"
+        "<text:p>after</text:p>"
+        "</office:text></office:body></office:document-content>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("mimetype"),
+                   "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", content)
+    assert odt_paragraphs(buf.getvalue()) == [
+        (0, "before"), (0, "a1\tb1"), (0, "a2\tb2"), (0, "after")]
+
+
+def test_xlsx_sheets_in_numeric_order():
+    import io
+    import zipfile
+    def sheet(val):
+        return ('<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+                'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+                f'<row r="1"><c r="A1"><v>{val}</v></c></row>'
+                "</sheetData></worksheet>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        for i in (1, 2, 10, 11):
+            z.writestr(f"xl/worksheets/sheet{i}.xml", sheet(i))
+    assert [r[0] for r in xlsx_rows(buf.getvalue())] \
+        == ["1", "2", "10", "11"]

@@ -172,3 +172,21 @@ def test_encrypt_decrypt_string_roundtrip_property():
         assert dec == data
 
     roundtrip()
+
+
+def test_generation_numbers_feed_object_keys():
+    """Algorithm 1 keys on (num, gen): a payload whose objects carry
+    gen > 0 must round-trip — and the gen-0 key must NOT decrypt it.
+    (Uncompressed build so the header rewrite can't touch binary
+    stream bytes.)"""
+    import re
+    plain = build_pdf([["gen three object text"]], compress=False)
+    bumped = re.sub(rb"(\d+)\s+0\s+obj", rb"\1 3 obj", plain)
+    bumped = re.sub(rb"(\d+)\s+0\s+R", rb"\1 3 R", bumped)
+    base = _full(bumped, PipelineConfig())
+    assert "gen three" in base[0]
+    enc = C.encrypt_pdf(bumped, user_pw="", method="rc4-128")
+    assert _full(enc, PipelineConfig()) == base
+    # sanity: keys for gen 0 and gen 3 differ
+    k = b"0123456789abcdef"
+    assert C.object_key(k, 5, 0, False) != C.object_key(k, 5, 3, False)

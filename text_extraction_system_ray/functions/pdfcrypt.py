@@ -578,9 +578,12 @@ def encrypt_pdf(payload: bytes, user_pw: str = "", owner_pw: str = "",
     if ti < 0:
         ti = len(out)
     out2 = bytes(out[:ti]) + enc_obj + bytes(out[ti:])
-    out2 = out2.replace(
-        b"/Root 1 0 R >>",
-        b"/Root 1 0 R /Encrypt " + str(enc_num).encode()
-        + b" 0 R /ID [<" + id0.hex().encode("ascii") + b"> <"
-        + id0.hex().encode("ascii") + b">] >>", 1)
+    entry = (b" /Encrypt " + str(enc_num).encode() + b" 0 R /ID [<"
+             + id0.hex().encode("ascii") + b"> <"
+             + id0.hex().encode("ascii") + b">]")
+    # splice right after the trailer's dict open — generation-agnostic
+    # (a /Root N G R with any generation keeps working)
+    out2, n = re.subn(rb"(trailer\s*<<)", rb"\1" + entry, out2, count=1)
+    if n == 0:                               # no trailer dict: append one
+        out2 += (b"trailer\n<<" + entry + b" >>\n")
     return out2

@@ -32,7 +32,7 @@ _EPOCH = _dt.datetime(2021, 1, 1)
 
 # bump whenever the synthesized payload bytes change — keys the /tmp
 # materialization caches (pages_parquet here, corpus_dir in bench.py)
-PAGES_FIXTURE_VERSION = 4
+PAGES_FIXTURE_VERSION = 5
 
 _NAV = ('<nav class="menu"><a href="/">Home</a> <a href="/news">News</a> '
         '<a href="/about">About</a> <a href="/contact">Contact</a></nav>')
