@@ -242,3 +242,21 @@ def test_driver_components_small_graph(ray_session):
     out = links._driver_components(rd.from_arrow(edges).materialize()) \
         .to_pandas().set_index("node")["component"].to_dict()
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_distributed_components_long_chain_converges(ray_session):
+    """A 300-node path graph has diameter 299 — far beyond the 64-round
+    cap — so this only passes because label links feed back as shortcut
+    edges (pointer jumping, O(log diameter) rounds)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from text_extraction_system_ray.pipelines import links
+
+    n = 300
+    edges = pa.table({
+        "src": pa.array(list(range(n - 1)), pa.int64()),
+        "dst": pa.array(list(range(1, n)), pa.int64())})
+    out = links._distributed_components(
+        rd.from_arrow(edges).materialize()).to_pandas()
+    assert len(out) == n
+    assert (out["component"] == 0).all()
