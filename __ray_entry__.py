@@ -619,6 +619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _sketch.cms_heavy_hitters,
         # Gopher document-quality rules, integerized thresholds
         "gopher_filter": _gopher.gopher_filter,
+        # weight-biased bottom-k corpus sample, integer-exact keys
+        "weighted_sample": _sketch.weighted_sample,
         # KMV/theta sketches over per-source VOCABULARY: k-min partials
         # per batch, tiny driver finish; set ops on sketches (the theta
         # intersection sample) — exactly reproducible via ROW_NUMBER<=k
@@ -2214,6 +2216,30 @@ def oracle_sql() -> dict[str, str]:
                    term, CAST(est_cnt AS BIGINT) AS est_cnt,
                    CAST(exact_cnt AS BIGINT) AS exact_cnt
             FROM est ORDER BY est_cnt DESC, term LIMIT 20
+        """,
+        # weighted bottom-k: 63-bit md5 draw // (n_words+1); on
+        # nonnegative operands numpy floor-div == SQL truncating div
+        "weighted_sample": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(text), '\s+')) END
+                            AS BIGINT) AS n_words,
+                       CAST(CAST(concat('0x', substr(md5(text), 1, 16))
+                                 AS UBIGINT)
+                            & CAST(9223372036854775807 AS UBIGINT)
+                            AS BIGINT) AS h
+                FROM documents
+            ), keyed AS (
+                SELECT doc_id, n_words,
+                       h // (n_words + 1) AS sample_key
+                FROM w
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                        ORDER BY sample_key, doc_id) AS BIGINT) AS rank,
+                   doc_id, n_words, sample_key
+            FROM keyed ORDER BY sample_key, doc_id LIMIT 50
         """,
         # Gopher rules: integerized thresholds, no float boundaries
         "gopher_filter": r"""

@@ -153,7 +153,7 @@ def run_queries() -> dict:
               "kmv_source_overlap", "warc_extract_summary", "office_extract_summary",
               "hash_sample_quantiles", "bloom_probe", "link_triangles",
               "cms_heavy_hitters", "gopher_filter", "link_components",
-              "feed_census"]
+              "feed_census", "weighted_sample"]
     out = {}
     for name in picked:
         t0 = time.monotonic()

@@ -96,6 +96,7 @@ def test_all_queries_run(entrymod):
     "kmv_source_overlap", "warc_extract_summary", "office_extract_summary",
     "office_odt_summary", "office_xlsx_summary",
     "cms_heavy_hitters", "gopher_filter", "link_components", "feed_census",
+    "weighted_sample",
     "hash_sample_quantiles",
     "bloom_probe", "link_triangles",
 ])

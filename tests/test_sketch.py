@@ -168,3 +168,22 @@ def test_cms_estimate_matches_bruteforce(ray_session):
         want = min(cms[r * CMS_W + cols[i, r]] for r in range(CMS_D))
         assert row["est_cnt"] == want
         assert row["exact_cnt"] == cnt[row["term"]]
+
+
+def test_weighted_sample_bias_and_determinism(ray_session):
+    """Weight bias: average n_words of the sampled 50 must exceed the
+    corpus average (heavier docs draw smaller keys); deterministic
+    across runs and batch splits."""
+    import pyarrow.parquet as pq
+    from text_extraction_system_ray.pipelines.sketch import (
+        weighted_sample)
+    t = weighted_sample(SF).to_pandas()
+    assert len(t) == 50
+    keys = t["sample_key"].to_numpy()
+    assert (keys[:-1] <= keys[1:]).all() and (keys >= 0).all()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    corpus_avg = np.mean([len((x or "").split())
+                          for x in docs["text"].to_pylist()])
+    assert t["n_words"].mean() > corpus_avg
+    t2 = weighted_sample(SF).to_pandas()
+    assert t.equals(t2)

@@ -428,3 +428,61 @@ def cms_heavy_hitters(sf_dir: str, k: int = CMS_TOPK) -> pa.Table:
         "term": pa.array(terms[order].astype(str), pa.string()),
         "est_cnt": pa.array(est[order], pa.int64()),
         "exact_cnt": pa.array(exact[order], pa.int64())})
+
+
+# ------------------------------------------- weighted bottom-k sample
+
+WSAMPLE_K = 50
+
+
+def weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pa.Table:
+    """Deterministic weight-biased corpus sample: key = md5_low64(text)
+    // (n_words + 1), keep the k smallest keys (ties → doc_id ASC).
+
+    Integer division by the weight scales each doc's uniform hash draw
+    so heavier (longer) docs get proportionally smaller keys — the
+    bottom-k is a weight-biased sample (the integer-exact analog of
+    Efraimidis-Spirakis exponential keys; floats would risk libm-ulp
+    divergence between numpy and the SQL oracle, integer division
+    cannot). Per-batch bottom-k combiners → tiny driver merge, the
+    hash_sample_quantiles shape; every value reproduces in DuckDB."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        n_words = np.fromiter((len((x or "").split()) for x in texts),
+                              np.int64, len(texts))
+        h = _md5_low64_signed(texts)
+        key = h // (n_words + 1)
+        order = np.lexsort((ids, key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_words": pa.array(n_words[order], pa.int64()),
+            "sample_key": pa.array(key[order], pa.int64())})
+
+    cands = pa.concat_tables(
+        [b for b in ds.map_batches(partials, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow") if b.num_rows])
+    ids = cands.column("doc_id").to_numpy()
+    nw = cands.column("n_words").to_numpy()
+    key = cands.column("sample_key").to_numpy()
+    order = np.lexsort((ids, key))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "doc_id": pa.array(ids[order], pa.int64()),
+        "n_words": pa.array(nw[order], pa.int64()),
+        "sample_key": pa.array(key[order], pa.int64())})
+
+
+def _md5_low64_signed(texts: List[str]) -> "np.ndarray":
+    """md5 low-64 masked to 63 bits → NONNEGATIVE int64. On nonnegative
+    operands numpy's floor division and SQL's truncating division
+    agree, so ``key // weight`` is bit-identical on both sides (signed
+    values would diverge: ``//`` floors, SQL ``/`` truncates)."""
+    import numpy as np
+    h1, _ = _md5_two_halves(texts)
+    return (h1 & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
